@@ -1,0 +1,211 @@
+"""Vision Transformer, TPU-first.
+
+Capability parity with the reference's HF-ViT wrapper (``TIC/ViT/model.py:8-47``:
+ViT-Base/Large patch16-224, resized classification head, scratch-init path),
+re-designed for the MXU rather than translated:
+
+- patch embedding is space-to-depth + one big matmul (maps straight onto the
+  MXU; mathematically identical to the stride-16 conv HF uses), with an
+  optional fused Pallas kernel (``ops/patch_embed.py``),
+- attention uses a fused QKV projection and can dispatch to a Pallas
+  flash-attention kernel (``ops/attention.py``) or a plain XLA path,
+- parameters are float32, compute is bfloat16 (bf16-mixed analogue of
+  ``ntrain.py:241`` without GradScaler — bf16 needs no loss scaling),
+- all shapes are static; the whole forward jits to a single XLA program.
+
+The parameter tree is kept HF-convertible: ``utils/convert.py`` maps
+``google/vit-*`` torch checkpoints onto it bit-exactly (fused QKV = concat of
+HF q/k/v; patch kernel = transposed conv kernel).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ViTConfig
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class PatchEmbed(nn.Module):
+    """Space-to-depth + Dense. Equivalent to Conv(kernel=P, stride=P).
+
+    Input NHWC (B, S, S, 3) -> (B, N, hidden). The unfold order is
+    (ph, pw, c) to match a conv kernel laid out (Ph, Pw, C, O), which is what
+    the HF->flax converter produces from torch OIHW weights.
+    """
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        p = cfg.patch_size
+        b, h, w, c = x.shape
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)          # (B, gh, gw, p, p, c)
+        x = x.reshape(b, gh * gw, p * p * c)
+        x = nn.Dense(
+            cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV.
+
+    ``impl='flash'`` dispatches to the Pallas TPU kernel; ``'xla'`` is the
+    plain (already MXU-friendly) einsum path with f32 softmax.
+    """
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        d = cfg.hidden_size
+        nh = cfg.num_heads
+        hd = d // nh
+        b, n, _ = x.shape
+
+        qkv = nn.Dense(3 * d, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, nh, hd)
+
+        if cfg.attention_impl == "flash":
+            from ..ops.attention import flash_attention
+
+            out = flash_attention(q, k, v)                    # (B, N, nh, hd)
+        else:
+            scale = hd ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+            if cfg.attention_dropout_rate > 0.0 and not deterministic:
+                probs = nn.Dropout(rate=cfg.attention_dropout_rate)(
+                    probs, deterministic=deterministic
+                )
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        out = out.reshape(b, n, d)
+        out = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
+        return out
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        x = nn.Dense(cfg.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        # HF ViT uses exact (erf) GELU
+        x = nn.gelu(x, approximate=False)
+        if cfg.dropout_rate > 0.0 and not deterministic:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN transformer block (HF ViT layout: layernorm_before/after)."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        x = x + Attention(cfg, dtype=self.dtype, name="attn")(
+            ln("ln1")(x), deterministic=deterministic
+        )
+        x = x + Mlp(cfg, dtype=self.dtype, name="mlp")(
+            ln("ln2")(x), deterministic=deterministic
+        )
+        return x
+
+
+class ViT(nn.Module):
+    """ViT classifier. ``__call__`` returns logits (B, num_classes).
+
+    Reference surface: ``TIC/ViT/model.py:8`` — ``ViT(num_classes, pretrained,
+    model_name)`` returning a model whose forward yields ``.logits``; here the
+    module returns logits directly (JAX functional style). Pretrained-weight
+    loading is a separate concern (``utils/pretrained.py``), since scratch vs
+    pretrained differ only in the initial params pytree.
+    """
+
+    cfg: ViTConfig
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        dtype = _dtype(self.compute_dtype)
+        if x.shape[1] != cfg.image_size or x.shape[2] != cfg.image_size:
+            # image-size validation, as in TIC/ViT/model.py:34-38
+            raise ValueError(
+                f"Input spatial size {x.shape[1:3]} != configured "
+                f"{(cfg.image_size, cfg.image_size)}"
+            )
+        x = x.astype(dtype)
+
+        if cfg.patch_embed_impl == "pallas":
+            from ..ops.patch_embed import pallas_patch_embed
+
+            proj = self.param(
+                "patch_embed_kernel",
+                nn.initializers.lecun_normal(),
+                (cfg.patch_size * cfg.patch_size * 3, cfg.hidden_size),
+                jnp.float32,
+            )
+            bias = self.param(
+                "patch_embed_bias", nn.initializers.zeros, (cfg.hidden_size,), jnp.float32
+            )
+            x = pallas_patch_embed(x, proj.astype(dtype), bias.astype(dtype), cfg.patch_size)
+        else:
+            x = PatchEmbed(cfg, dtype=dtype, name="patch_embed")(x)
+
+        b = x.shape[0]
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size), jnp.float32
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.hidden_size)), x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.seq_len, cfg.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(dtype)
+        if cfg.dropout_rate > 0.0 and not deterministic:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+
+        for i in range(cfg.num_layers):
+            x = EncoderLayer(cfg, dtype=dtype, name=f"layer_{i}")(
+                x, deterministic=deterministic
+            )
+
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, param_dtype=jnp.float32, name="final_ln"
+        )(x)
+        cls_out = x[:, 0]
+        logits = nn.Dense(
+            cfg.num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="head"
+        )(cls_out.astype(jnp.float32))
+        return logits
