@@ -9,7 +9,10 @@ process, hence this lives at conftest import time.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (the tunneled TPU);
+# a plain setdefault is not enough — overwrite and also update jax.config
+# after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
