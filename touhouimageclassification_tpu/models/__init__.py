@@ -23,8 +23,29 @@ from .vit import ViT
 __all__ = [
     "ViT", "ResNet", "resnet",
     "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-    "create_model",
+    "create_model", "apply_model",
 ]
+
+
+def apply_model(model, variables, x, train: bool = False, rngs=None):
+    """Uniform forward across families.
+
+    Returns ``(outputs, new_model_state)`` where ``new_model_state`` carries
+    updated non-param collections (ResNet ``batch_stats``) or ``{}``.
+    ``outputs`` is logits for ViT/ResNet and the family-specific tuple for
+    MoE/Tree (their tasks unpack it).
+    """
+    from .resnet import ResNet
+
+    if isinstance(model, ResNet):
+        if train:
+            out, updates = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            return out, dict(updates)
+        return model.apply(variables, x, train=False), {}
+    out = model.apply(variables, x, deterministic=not train, rngs=rngs)
+    return out, {}
 
 
 def create_model(model_type: str, num_classes: int = NUM_CLASSES, **overrides: Any):

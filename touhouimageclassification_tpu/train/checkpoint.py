@@ -1,0 +1,82 @@
+"""One Orbax checkpoint format replacing the reference's four coexisting ones
+(SURVEY §5 checkpoint/resume): per-epoch saves carrying params / opt_state /
+model_state / step plus metrics, with
+
+- top-k retention by a monitored metric (``ModelCheckpoint(save_top_k=3,
+  monitor='val_acc')``, ``ntrain.py:221-229``) via ``best_fn``,
+- every-N-epoch keeps (the second ModelCheckpoint, ``ntrain.py:230-236``)
+  via ``keep_period``,
+- filesystem auto-resume from the latest epoch (``finetune.py:107-148``'s
+  scan, done properly by the manager),
+- params-only extraction for serving (``--transform`` /
+  ``TIC/utils/extract_ckpt.py`` analogue).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import CheckpointConfig
+
+
+class CheckpointManager:
+    def __init__(self, cfg: CheckpointConfig, run_name: str):
+        self.cfg = cfg
+        self.directory = os.path.abspath(os.path.join(cfg.directory, run_name))
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=cfg.top_k,
+            best_fn=(lambda metrics: float(metrics[cfg.monitor])) if cfg.monitor else None,
+            best_mode=cfg.mode,
+            keep_period=cfg.every_n_epochs or None,
+            create=True,
+            enable_async_checkpointing=cfg.async_save,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, epoch: int, state: Any, metrics: dict[str, float]) -> None:
+        self._mgr.save(
+            epoch,
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in metrics.items()},
+        )
+
+    def latest_epoch(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def best_epoch(self) -> int | None:
+        return self._mgr.best_step()
+
+    def restore(self, state_template: Any, epoch: int | None = None) -> Any:
+        epoch = epoch if epoch is not None else self.latest_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"No checkpoint under {self.directory}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_template)
+        return self._mgr.restore(epoch, args=ocp.args.StandardRestore(abstract))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """Bare-params export for serving (extract_ckpt.py:12-29 analogue)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_params(path: str, params_template: Any = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    abstract = (
+        jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_template)
+        if params_template is not None else None
+    )
+    out = ckptr.restore(os.path.abspath(path), target=abstract)
+    ckptr.close()
+    return out

@@ -1,0 +1,69 @@
+"""Loss functions.
+
+- ``cross_entropy``: CE with soft (one-hot / mixed) targets — covers both
+  ``F.cross_entropy(logits, y)`` with int labels (ntrain.py:47) and the
+  soft-label case after CutMix/MixUp.
+- ``symmetric_cross_entropy`` + ``load_balance_loss`` + ``moe_total_loss``:
+  the ResMoE objective (``TIC/ResMoE/train.py:21-36``): SCE(alpha=0.1,
+  beta=1.0) plus 0.5 * a gate-usage quadratic penalty.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jax.Array, soft_targets: jax.Array) -> jax.Array:
+    """Mean CE over the batch; targets are probabilities summing to 1."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(soft_targets * logp, axis=-1))
+
+
+def accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array | None = None):
+    """(correct_count, total_count) so callers can aggregate exactly."""
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels)
+    if mask is not None:
+        correct = correct & mask
+        total = jnp.sum(mask)
+    else:
+        total = labels.shape[0]
+    return jnp.sum(correct), total
+
+
+def symmetric_cross_entropy(
+    logits: jax.Array, targets: jax.Array, alpha: float = 0.1, beta: float = 1.0
+) -> jax.Array:
+    """SCE as in ``TIC/ResMoE/train.py:21-24``: alpha*CE(logits, targets) +
+    beta*reverse-CE. The reference computes the reverse term as
+    -sum(softmax(logits) * log_softmax(targets)); with one-hot targets
+    log_softmax of the one-hot is what the reference feeds, so we reproduce
+    that exact formulation."""
+    ce = cross_entropy(logits, targets)
+    log_t = jax.nn.log_softmax(targets.astype(jnp.float32), axis=-1)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    rce = -jnp.mean(jnp.sum(p * log_t, axis=-1))
+    return alpha * ce + beta * rce
+
+
+def load_balance_loss(gate_weights: jax.Array) -> jax.Array:
+    """Quadratic gate-usage penalty (``TIC/ResMoE/train.py:26-28``):
+    mean over samples of <gate_weights_i, mean_gate_usage>."""
+    avg_usage = jnp.mean(gate_weights, axis=0)              # (N,)
+    return jnp.mean(gate_weights @ avg_usage)
+
+
+def moe_total_loss(
+    logits: jax.Array,
+    targets: jax.Array,
+    gate_weights: jax.Array,
+    balance_alpha: float = 0.5,
+    sce_alpha: float = 0.1,
+    sce_beta: float = 1.0,
+) -> jax.Array:
+    """``total_loss`` (``TIC/ResMoE/train.py:30-36``) minus the NaN asserts —
+    the trainer's global non-finite guard covers those."""
+    return (
+        symmetric_cross_entropy(logits, targets, sce_alpha, sce_beta)
+        + balance_alpha * load_balance_loss(gate_weights)
+    )

@@ -1,0 +1,316 @@
+"""The unified trainer.
+
+One implementation replaces both reference trainer styles (the hand-rolled
+fp16-AMP loops of ``TIC/ViT/finetune.py:93-268`` / ``pretrain.py`` /
+``ResNet/train.py`` and the Lightning modules of ``ntrain.py:16-248`` /
+``ResMoE/train.py`` / ``TreeViT/train.py``), TPU-first:
+
+- the *entire* step — uint8 batch -> on-device augmentation -> CutMix/MixUp
+  -> bf16 forward/backward -> optimizer update — is one jitted XLA program,
+- data parallelism from day one: batch sharded over the mesh's ``data`` axis,
+  params replicated; XLA emits the gradient all-reduce over ICI; identical
+  code on 1 chip, a v5e-8 slice, or the virtual CPU mesh in tests,
+- bf16 compute / f32 params (no GradScaler needed, unlike fp16 AMP),
+- non-finite updates are skipped (``optax.apply_if_finite``) instead of the
+  reference's loss-patching NaN workaround (``finetune.py:181-188``),
+- Orbax per-epoch checkpoints with top-k + every-N retention and filesystem
+  auto-resume,
+- early stopping on a monitored val metric window (EarlyStopping,
+  ``ntrain.py:237-238``; ``early_exit``, ``finetune.py:79-91``),
+- optional frozen-backbone finetune (``full_finetune=False`` freezes all but
+  the classifier head, ``ntrain.py:34-36``).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TrainConfig, get_image_size
+from ..data.loader import device_put_iterator
+from ..models import apply_model, create_model
+from ..ops.augment import build_augment_fn, build_eval_fn
+from ..ops.mixup import cutmix_or_mixup
+from ..parallel.mesh import create_mesh, data_sharding, replicated
+from ..utils.logging import get_logger
+from . import losses
+from .checkpoint import CheckpointManager
+from .optim import build_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    model_state: Any
+
+
+class ClassificationTask:
+    """Default task: model outputs logits; CE on (possibly soft) targets."""
+
+    def loss(self, outputs, soft_labels):
+        return losses.cross_entropy(outputs, soft_labels), {}
+
+    def logits(self, outputs):
+        return outputs
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        model=None,
+        task: ClassificationTask | None = None,
+        mesh=None,
+        init_params=None,
+    ):
+        self.cfg = cfg
+        self.model = model if model is not None else create_model(cfg.model_type)
+        self.task = task or ClassificationTask()
+        self.mesh = mesh if mesh is not None else create_mesh(
+            num_expert=cfg.mesh.num_expert_shards
+        )
+        self.logger = get_logger(cfg.train_id, cfg.log_dir)
+        model_cfg = getattr(self.model, "cfg", None)
+        if model_cfg is not None and hasattr(model_cfg, "image_size") and isinstance(
+            model_cfg.image_size, int
+        ):
+            self.out_size = (model_cfg.image_size, model_cfg.image_size)
+        else:
+            self.out_size = get_image_size(cfg.model_type)
+        self.num_classes = getattr(self.model.cfg, "num_classes")
+        self.augment_fn = build_augment_fn(cfg.augment, self.out_size)
+        self.eval_transform = build_eval_fn(cfg.augment, self.out_size)
+        self._base_key = jax.random.key(cfg.seed)
+        self._init_params = init_params
+        self._batch_sharding = data_sharding(self.mesh, cfg.mesh.data_axis)
+        self._replicated = replicated(self.mesh)
+        self.tx: optax.GradientTransformation | None = None
+        self.state: TrainState | None = None
+        self._metrics_path = os.path.join(cfg.log_dir, cfg.train_id, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def _trainable_mask(self, params):
+        """full_finetune=False freezes everything but the head
+        (``ntrain.py:34-36``)."""
+        if self.cfg.full_finetune:
+            return jax.tree_util.tree_map(lambda _: True, params)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree_util.tree_structure(params)
+        mask = [any("head" in str(k) for k in path) for path, _ in flat]
+        return jax.tree_util.tree_unflatten(treedef, mask)
+
+    def init_state(self, steps_per_epoch: int = 1) -> TrainState:
+        dummy = jnp.zeros((1, *self.out_size, 3), jnp.float32)
+        variables = self.model.init(jax.random.key(self.cfg.seed), dummy)
+        variables = dict(variables)
+        params = variables.pop("params")
+        if self._init_params is not None:
+            params = self._init_params
+        model_state = variables  # batch_stats etc., possibly empty
+
+        tx = build_optimizer(
+            self.cfg.optimizer, steps_per_epoch, nan_guard=self.cfg.nan_guard
+        )
+        if not self.cfg.full_finetune:
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()},
+                jax.tree_util.tree_map(
+                    lambda t: "train" if t else "frozen", self._trainable_mask(params)
+                ),
+            )
+        self.tx = tx
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            model_state=model_state,
+        )
+        return jax.device_put(state, self._replicated)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _make_train_step(self) -> Callable:
+        cfg = self.cfg
+        model, task, tx = self.model, self.task, self.tx
+        augment_fn = self.augment_fn
+        num_classes = self.num_classes
+        base_key = self._base_key
+
+        def train_step(state: TrainState, batch):
+            key = jax.random.fold_in(base_key, state.step)
+            k_aug, k_mix, k_drop = jax.random.split(key, 3)
+            images = batch["image"].astype(jnp.float32) / 255.0
+            images = augment_fn(k_aug, images)
+            labels = jax.nn.one_hot(batch["label"], num_classes)
+            if cfg.mix.enable_mixup:
+                images, labels = cutmix_or_mixup(
+                    k_mix, images, labels, cfg.mix.mixup_alpha, cfg.mix.cutmix_alpha
+                )
+
+            def loss_fn(params):
+                outputs, new_ms = apply_model(
+                    model,
+                    {"params": params, **state.model_state},
+                    images,
+                    train=True,
+                    rngs={"dropout": k_drop, "gate": k_drop},
+                )
+                loss, aux = task.loss(outputs, labels)
+                return loss, (new_ms, aux)
+
+            (loss, (new_ms, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                model_state=new_ms if new_ms else state.model_state,
+            )
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self) -> Callable:
+        model, task = self.model, self.task
+        eval_transform = self.eval_transform
+        num_classes = self.num_classes
+
+        def eval_step(state: TrainState, batch):
+            images = eval_transform(batch["image"].astype(jnp.float32) / 255.0)
+            outputs, _ = apply_model(
+                model, {"params": state.params, **state.model_state}, images, train=False
+            )
+            logits = task.logits(outputs)
+            labels = batch["label"]
+            mask = batch["mask"]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            per_sample = -logp[jnp.arange(labels.shape[0]), labels]
+            loss_sum = jnp.sum(per_sample * mask)
+            correct, total = losses.accuracy(logits, labels, mask)
+            return loss_sum, correct, total
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def _log_metrics(self, record: dict) -> None:
+        os.makedirs(os.path.dirname(self._metrics_path), exist_ok=True)
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def evaluate(self, loader, state: TrainState | None = None, limit: int = 0):
+        state = state if state is not None else self.state
+        eval_step = getattr(self, "_eval_step", None)
+        if eval_step is None:
+            eval_step = self._eval_step = self._make_eval_step()
+        loss_sum, correct, total = 0.0, 0, 0
+        for i, batch in enumerate(device_put_iterator(iter(loader), self._batch_sharding)):
+            if limit and i >= limit:
+                break
+            ls, c, t = eval_step(state, batch)
+            loss_sum += float(ls)
+            correct += int(c)
+            total += int(t)
+        if total == 0:
+            return {"val_loss": float("nan"), "val_acc": 0.0}
+        return {"val_loss": loss_sum / total, "val_acc": correct / total}
+
+    def fit(self, train_loader, val_loader=None, resume: bool | str = True):
+        cfg = self.cfg
+        steps_per_epoch = train_loader.steps_per_epoch()
+        if cfg.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+        self.state = self.init_state(steps_per_epoch)
+        ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
+        start_epoch = 0
+        if resume and ckpt.latest_epoch() is not None:
+            self.state = jax.device_put(ckpt.restore(self.state), self._replicated)
+            start_epoch = int(ckpt.latest_epoch())
+            self.logger.info("Resumed from epoch %d", start_epoch)
+
+        train_step = self._make_train_step()
+        history: list[dict] = []
+        best = -math.inf if cfg.early_stop_mode == "max" else math.inf
+        since_best = 0
+        sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
+
+        for epoch in range(start_epoch, cfg.max_epochs):
+            t0 = time.time()
+            running, nsteps = 0.0, 0
+            it = device_put_iterator(iter(train_loader), self._batch_sharding)
+            for i, batch in enumerate(it):
+                if cfg.limit_train_batches and i >= cfg.limit_train_batches:
+                    break
+                self.state, metrics = train_step(self.state, batch)
+                running += float(metrics["loss"])
+                nsteps += 1
+            dt = time.time() - t0
+            train_loss = running / max(nsteps, 1)
+            record = {
+                "epoch": epoch + 1,
+                "train_loss": train_loss,
+                "epoch_seconds": dt,
+                "images_per_second": nsteps * cfg.global_batch_size / dt if dt else 0.0,
+            }
+            if val_loader is not None:
+                record.update(
+                    self.evaluate(val_loader, self.state, cfg.limit_val_batches)
+                )
+            self.logger.info(
+                "epoch %d: %s", epoch + 1,
+                " ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "epoch"),
+            )
+            self._log_metrics(record)
+            history.append(record)
+
+            metric_key = cfg.early_stop_monitor
+            metrics_for_ckpt = {
+                k: v for k, v in record.items() if isinstance(v, (int, float))
+            }
+            if cfg.checkpoint.monitor not in metrics_for_ckpt:
+                metrics_for_ckpt[cfg.checkpoint.monitor] = record.get(
+                    "val_acc", train_loss
+                )
+            ckpt.save(epoch + 1, jax.device_get(self.state), metrics_for_ckpt)
+
+            if metric_key in record:
+                cur = record[metric_key]
+                if sign * cur > sign * best:
+                    best = cur
+                    since_best = 0
+                else:
+                    since_best += 1
+                    if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
+                        self.logger.info(
+                            "%s has not improved for %d epochs. Stopping training.",
+                            metric_key, cfg.early_stop_patience,
+                        )
+                        break
+        ckpt.wait()
+        ckpt.close()
+        return history
+
+    def test(self, test_loader, state: TrainState | None = None):
+        """trainer.test(...) analogue (``ntrain.py:245-248``)."""
+        out = self.evaluate(test_loader, state)
+        return {"test_loss": out["val_loss"], "test_acc": out["val_acc"]}
