@@ -1,0 +1,123 @@
+"""Headline benchmark: ViT-Large finetune throughput (images/sec/chip).
+
+Runs the REAL training step — on-device full augmentation recipe +
+CutMix/MixUp + bf16 forward/backward + AdamW update, exactly the main-result
+configuration (``TIC/ViT/ntrain.py:250-267``) — on synthetic data on the
+local TPU chip, and prints one JSON line.
+
+Baseline: the reference reports ~67 img/s for ViT-Large finetune at batch 30
+fp16 on an RTX 3080 (report.pdf p.8 §4.3; BASELINE.md).
+
+Usage: python bench.py [--batch 128] [--steps 20] [--serve]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 67.0  # RTX 3080 reference point (BASELINE.md)
+
+
+def bench_train(batch: int, steps: int, warmup: int = 3) -> float:
+    import jax
+
+    from touhouimageclassification_tpu.config import (
+        AugmentConfig, CheckpointConfig, MixConfig, OptimizerConfig, TrainConfig,
+        VIT_LARGE,
+    )
+    import dataclasses
+
+    from touhouimageclassification_tpu.models.vit import ViT
+    from touhouimageclassification_tpu.parallel.mesh import create_mesh, data_sharding
+    from touhouimageclassification_tpu.train.trainer import Trainer
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(num_data=n_dev)
+    cfg = TrainConfig(
+        train_id="bench",
+        model_type="vit-large",
+        global_batch_size=batch,
+        optimizer=OptimizerConfig(name="adamw", learning_rate=1e-5, weight_decay=0.01),
+        augment=AugmentConfig(),
+        mix=MixConfig(enable_mixup=True),
+        checkpoint=CheckpointConfig(async_save=False),
+        log_dir="/tmp/tic_bench_log",
+    )
+    model = ViT(dataclasses.replace(VIT_LARGE, remat=True))
+    trainer = Trainer(cfg, model=model, mesh=mesh)
+    state = trainer.init_state(steps_per_epoch=100)
+    step_fn = trainer._make_train_step()
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "image": rng.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8),
+        "label": (np.arange(batch) % 120).astype(np.int32),
+        "mask": np.ones((batch,), bool),
+    }
+    dbatch = jax.device_put(batch_np, data_sharding(mesh))
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, dbatch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, dbatch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch * steps / dt / n_dev
+
+
+def bench_serve_latency(trials: int = 50):
+    """p50 single-image serve latency (target <20 ms, BASELINE.md)."""
+    import jax
+
+    from touhouimageclassification_tpu.config import VIT_LARGE
+    from touhouimageclassification_tpu.infer.serve import Predictor
+    from touhouimageclassification_tpu.models.vit import ViT
+
+    model = ViT(VIT_LARGE)
+    params = model.init(jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))["params"]
+    predictor = Predictor(
+        model=model, params=params, model_state={},
+        class_to_idx={f"c{i}": i for i in range(120)}, image_size=(224, 224),
+        mean=np.array([0.485, 0.456, 0.406]), std=np.array([0.229, 0.224, 0.225]),
+    )
+    img = np.zeros((1, 224, 224, 3), np.uint8)
+    predictor.predict_array(img)  # compile
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        predictor.predict_array(img)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--serve", action="store_true",
+                        help="also measure p50 serve latency (extra output line)")
+    args = parser.parse_args()
+
+    img_s = bench_train(args.batch, args.steps)
+    print(json.dumps({
+        "metric": "vit_large_finetune_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_PER_SEC, 2),
+    }))
+    if args.serve:
+        p50 = bench_serve_latency()
+        print(json.dumps({
+            "metric": "serve_latency_p50", "value": round(p50, 2), "unit": "ms",
+            "vs_baseline": None,
+        }))
+
+
+if __name__ == "__main__":
+    main()

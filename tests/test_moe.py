@@ -1,0 +1,151 @@
+"""MoE dispatch op, ResMoE (dense vs sparse parity), TreeViT, and losses."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touhouimageclassification_tpu.config import MoEConfig, TreeViTConfig, ViTConfig
+from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+from touhouimageclassification_tpu.models.treevit import TreeViT
+from touhouimageclassification_tpu.ops import moe_dispatch as md
+from touhouimageclassification_tpu.train import losses
+
+TINY_VIT = ViTConfig(image_size=16, patch_size=8, hidden_size=16, num_layers=1,
+                     num_heads=2, mlp_dim=32, num_classes=6)
+
+
+# ---------------------------------------------------------------------------
+# dispatch op
+# ---------------------------------------------------------------------------
+
+def test_dispatch_roundtrip_identity():
+    """With enough capacity, dispatch+combine with weight 1 on k=1 routing is
+    a permutation-invariant identity."""
+    b, e = 8, 4
+    top_i = jnp.array([[i % e] for i in range(b)])       # (B, 1)
+    plan = md.make_dispatch_plan(top_i, e, capacity=md.capacity_for(b, 1, e, 2.0))
+    x = jnp.arange(b * 3, dtype=jnp.float32).reshape(b, 3)
+    gathered = md.dispatch(plan, x)                      # (E, C, 3)
+    out = md.combine(plan, gathered, jnp.ones((b, 1)), b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_dispatch_capacity_drops():
+    """All samples to one expert with capacity 2 -> only 2 survive."""
+    b = 6
+    top_i = jnp.zeros((b, 1), jnp.int32)
+    plan = md.make_dispatch_plan(top_i, num_experts=3, capacity=2)
+    assert int(plan.flat_keep.sum()) == 2
+    assert bool(plan.slot_valid[0].all())
+    assert not bool(plan.slot_valid[1:].any())
+    x = jnp.ones((b, 4))
+    out = md.combine(plan, md.dispatch(plan, x), jnp.ones((b, 1)), b)
+    # dropped samples get zero output
+    assert int((np.asarray(out).sum(axis=1) > 0).sum()) == 2
+
+
+def test_dispatch_weights_applied():
+    b, e, k = 4, 2, 2
+    top_i = jnp.tile(jnp.array([[0, 1]]), (b, 1))
+    w = jnp.tile(jnp.array([[0.75, 0.25]]), (b, 1))
+    plan = md.make_dispatch_plan(top_i, e, capacity=b)
+    xs = md.dispatch(plan, jnp.ones((b, 1)))
+    out = md.combine(plan, xs, w, b)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)  # 0.75+0.25
+
+
+# ---------------------------------------------------------------------------
+# ResMoE
+# ---------------------------------------------------------------------------
+
+def _moe(routing, capacity_factor=8.0):
+    return MoEClassifier(MoEConfig(
+        num_experts=4, top_k=2, num_classes=6, routing=routing,
+        capacity_factor=capacity_factor, expert_vit=TINY_VIT,
+    ), compute_dtype="float32")
+
+
+def test_moe_dense_forward_shapes():
+    model = _moe("dense")
+    x = jax.random.normal(jax.random.key(0), (3, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+    logits, gate_dense, top_i = model.apply(params, x)
+    assert logits.shape == (3, 6)
+    assert gate_dense.shape == (3, 4)
+    assert top_i.shape == (3, 2)
+    # dense gate rows sum to 1 (softmaxed top-k scattered)
+    np.testing.assert_allclose(np.asarray(gate_dense.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_moe_sparse_matches_dense_with_ample_capacity():
+    """With capacity >= B*K, sparse dispatch computes exactly the chosen
+    experts; dense weights the unchosen ones with 0 — results must match."""
+    dense = _moe("dense")
+    sparse = _moe("sparse", capacity_factor=16.0)
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
+    params = dense.init(jax.random.key(1), x)
+    out_d, gd, ti_d = dense.apply(params, x)
+    out_s, gs, ti_s = sparse.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(ti_d), np.asarray(ti_s))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_moe_gate_noise_only_in_training():
+    model = _moe("dense")
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+    a1, *_ = model.apply(params, x, deterministic=True)
+    a2, *_ = model.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    b1, *_ = model.apply(params, x, deterministic=False,
+                         rngs={"gate": jax.random.key(2), "dropout": jax.random.key(3)})
+    assert np.isfinite(np.asarray(b1)).all()
+
+
+def test_moe_losses():
+    logits = jax.random.normal(jax.random.key(0), (4, 6))
+    targets = jax.nn.one_hot(jnp.array([0, 1, 2, 3]), 6)
+    gate = jax.nn.softmax(jax.random.normal(jax.random.key(1), (4, 4)))
+    total = losses.moe_total_loss(logits, targets, gate)
+    assert np.isfinite(float(total))
+    # balanced gates minimize the load-balance term among distributions
+    uniform = jnp.full((4, 4), 0.25)
+    skewed = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (4, 1))
+    assert float(losses.load_balance_loss(uniform)) < float(
+        losses.load_balance_loss(skewed))
+
+
+# ---------------------------------------------------------------------------
+# TreeViT
+# ---------------------------------------------------------------------------
+
+def test_treevit_forward_and_grads():
+    model = TreeViT(TreeViTConfig(
+        num_categories=3, num_classes=6, top_k=2, capacity_factor=8.0,
+        vit=TINY_VIT,
+    ), compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+    combined, choice = model.apply(params, x)
+    assert combined.shape == (4, 6)
+    assert choice.shape == (4, 3)
+
+    def loss_fn(p):
+        c, ch = model.apply(p, x)
+        return jnp.sum(c ** 2) + jnp.sum(ch ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_treevit_jits():
+    model = TreeViT(TreeViTConfig(num_categories=2, num_classes=4, top_k=1,
+                                  vit=TINY_VIT))
+    x = jnp.ones((2, 16, 16, 3))
+    params = model.init(jax.random.key(0), x)
+    fn = jax.jit(lambda p, x: model.apply(p, x))
+    combined, choice = fn(params, x)
+    assert combined.shape == (2, 4)

@@ -1,0 +1,91 @@
+"""Serving path: Predictor buckets, full_judge CSV schema, filter copying."""
+import csv
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from touhouimageclassification_tpu.config import ViTConfig
+from touhouimageclassification_tpu.data.folder import scan_image_folder
+from touhouimageclassification_tpu.infer.filter import filter as filter_csv
+from touhouimageclassification_tpu.infer.serve import Predictor, full_judge, serve
+from touhouimageclassification_tpu.models.vit import ViT
+
+from fixtures import make_image_folder
+
+N_CLASSES = 3
+TINY = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=1,
+                 num_heads=2, mlp_dim=64, num_classes=N_CLASSES)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_data")
+    return make_image_folder(str(root), num_classes=N_CLASSES, per_class=5, size=32)
+
+
+@pytest.fixture(scope="module")
+def predictor(dataset):
+    index = scan_image_folder(dataset)
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0), np.zeros((1, 32, 32, 3), np.float32))["params"]
+    return Predictor(
+        model=model, params=params, model_state={},
+        class_to_idx=index.class_to_idx, image_size=(32, 32),
+        mean=np.array([0.5, 0.5, 0.5]), std=np.array([0.25, 0.25, 0.25]),
+    )
+
+
+def test_predict_bucket_padding(predictor):
+    for n in (1, 3, 8, 11):
+        imgs = np.random.default_rng(n).integers(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+        pred, conf = predictor.predict_array(imgs)
+        assert pred.shape == (n,) and conf.shape == (n,)
+        assert ((conf > 0) & (conf <= 1)).all()
+
+
+def test_predict_over_largest_bucket(predictor):
+    imgs = np.zeros((70, 32, 32, 3), np.uint8)
+    pred, conf = predictor.predict_array(imgs)
+    assert pred.shape == (70,)
+    # identical inputs -> identical predictions regardless of chunking
+    assert len(set(pred.tolist())) == 1
+
+
+def test_padding_does_not_change_results(predictor):
+    imgs = np.random.default_rng(0).integers(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+    full_pred, full_conf = predictor.predict_array(imgs)
+    one_pred, one_conf = predictor.predict_array(imgs[:1])
+    assert full_pred[0] == one_pred[0]
+    np.testing.assert_allclose(full_conf[0], one_conf[0], atol=1e-5)
+
+
+def test_serve_single_image(predictor, dataset):
+    from PIL import Image
+
+    index = scan_image_folder(dataset)
+    with Image.open(index.paths[0]) as im:
+        name, conf = serve(predictor, im)
+    assert name in index.class_to_idx
+    assert 0 < conf <= 1
+
+
+def test_full_judge_csv_schema_and_filter(predictor, dataset, tmp_path):
+    out_csv = tmp_path / "judge.csv"
+    acc = full_judge(predictor, dataset, str(out_csv), batch_size=8, progress=False)
+    assert 0.0 <= acc <= 1.0
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "no rows written"
+    assert list(rows[0].keys()) == [
+        "filename", "predicted_class", "confidence", "actual_class", "correct", "path"
+    ]
+    n_correct = sum(r["correct"] == "True" for r in rows)
+    assert abs(n_correct / len(rows) - acc) < 1e-9
+
+    out_dir = tmp_path / "filtered"
+    tot, cnt = filter_csv(str(out_csv), str(out_dir))
+    assert tot == len(rows) and cnt == n_correct
+    copied = sum(len(files) for _, _, files in os.walk(out_dir))
+    assert copied == cnt

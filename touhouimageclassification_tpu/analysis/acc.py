@@ -1,0 +1,80 @@
+"""Multi-checkpoint accuracy sweep.
+
+Parity with ``TIC/analysis/acc.py``: a pinned table of named checkpoints,
+per-model result CSV cached under ``result/``, aggregate ``result/acc.csv``.
+The reference shells out to a subprocess per model for CUDA memory isolation
+(``acc.py:43-51``); jitted XLA graphs don't leak, so this version runs
+in-process and just drops each Predictor when done.
+
+CLI: ``python -m touhouimageclassification_tpu.analysis.acc [--recompute]``
+"""
+from __future__ import annotations
+
+import csv
+import os
+
+from ..config import RESULT_DIR, TEST_DIR
+
+# (model_name, model_type, checkpoint) — reference table at acc.py:13-25,
+# paths pointing at converted/retrained artifacts of this build.
+MODELS: list[tuple[str, str, str]] = [
+    ("ResNet", "resnet", "checkpoint/serving/resnet152"),
+    ("ResMoE", "resmoe", "checkpoint/serving/resmoe"),
+    ("ViT_base", "vit-base", "checkpoint/serving/vit_base_finetune"),
+    ("ViT_large", "vit-large", "checkpoint/serving/vit_large_finetune"),
+    ("ViT_large_filtered", "vit-large", "checkpoint/serving/vit_large_filtered"),
+    ("ViT_large_filtered_full_mixed", "vit-large", "checkpoint/serving/nvit"),
+    ("ViT_large_filtered_grey_mixed", "vit-large", "checkpoint/serving/nvit_grey"),
+    ("ViT_large_filtered_grey", "vit-large", "checkpoint/serving/nvit_grey_unmix"),
+    ("ViT_large_full_mixed", "vit-large", "checkpoint/serving/nvit_unfiltered"),
+    ("ViT_large_n", "vit-large", "checkpoint/serving/nvit_unfiltered_unaug"),
+    ("ViT_large_full", "vit-large", "checkpoint/serving/nvit_unfiltered_unmix"),
+]
+
+
+def get_acc(name: str, result_dir: str = RESULT_DIR) -> dict:
+    path = os.path.join(result_dir, f"{name}.csv")
+    total = correct = 0
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            total += 1
+            correct += row["correct"].strip() == "True"
+    return {"name": name, "acc": correct / total if total else 0.0}
+
+
+def run_sweep(
+    models=None,
+    test_dir: str = TEST_DIR,
+    result_dir: str = RESULT_DIR,
+    recompute: bool = False,
+    data_dir: str | None = None,
+) -> list[dict]:
+    from ..infer import serve as serve_mod
+
+    models = models if models is not None else MODELS
+    os.makedirs(result_dir, exist_ok=True)
+    for name, mtype, checkpoint in models:
+        out_csv = os.path.join(result_dir, f"{name}.csv")
+        if recompute or not os.path.exists(out_csv):
+            predictor = serve_mod.init(
+                modelt=mtype, weights=checkpoint,
+                data_dir=data_dir or serve_mod.FILTERED_DATA_DIR,
+            )
+            serve_mod.full_judge(predictor, test_dir, out_csv)
+            del predictor
+    rows = [get_acc(name, result_dir) for name, _, _ in models]
+    with open(os.path.join(result_dir, "acc.csv"), "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["name", "acc"])
+        writer.writeheader()
+        writer.writerows(rows)
+    return rows
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--recompute", "-r", action="store_true")
+    args = parser.parse_args()
+    for row in run_sweep(recompute=args.recompute):
+        print(f"{row['name']}: {row['acc']:.4f}")

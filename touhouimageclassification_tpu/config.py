@@ -117,6 +117,10 @@ class ViTConfig:
     attention_impl: str = "xla"
     # fused Pallas patch-embed kernel toggle
     patch_embed_impl: str = "xla"
+    # rematerialize encoder layers in backward (jax.checkpoint): trades ~30%
+    # extra FLOPs for O(layers) activation memory, enabling much larger
+    # per-chip batches (HBM is the bottleneck, SURVEY §6 targets)
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -172,6 +176,9 @@ class MoEConfig:
     balance_loss_alpha: float = 0.5  # total_loss mix (TIC/ResMoE/train.py:36)
     sce_alpha: float = 0.1          # symmetric CE (TIC/ResMoE/train.py:21)
     sce_beta: float = 1.0
+    # architecture override for experts/gate (None = expert_model_name's ViT);
+    # used to build tiny MoEs in tests and the multichip dryrun
+    expert_vit: "ViTConfig | None" = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +190,8 @@ class TreeViTConfig:
     top_k: int = 2
     map_file: str = "category.csv"
     capacity_factor: float = 1.5
+    # architecture override for root/sons (None = ViT-Base)
+    vit: "ViTConfig | None" = None
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,288 @@
+"""Serving: model loading, single-image predict, batched dataset judge.
+
+Reference surface (``TIC/utils/serve.py``): ``model_checkpoints`` registry
+(:18-22), ``get_model``/``load_model`` dispatch (:24-81), ``serve`` single
+image (:83-114), ``init`` (:116-156), ``full_judge`` directory scorer with CSV
+``filename,predicted_class,confidence,actual_class,correct,path`` (:158-230),
+and the CLI flags of the ``__main__`` block.
+
+TPU-native differences:
+- ONE jitted predict graph (resize+normalize+forward+softmax fused) shared by
+  every consumer, with padded batch buckets so a handful of compiled shapes
+  serves any request size;
+- ``full_judge`` scores the dataset in batches of 64 instead of the
+  reference's one-image-at-a-time loop (``serve.py:212-213`` — the
+  serving-path inefficiency called out in SURVEY §3.3);
+- weights are Orbax params directories (optionally converted from reference
+  ``.pth`` via ``utils/convert.py``).
+
+CLI: ``python -m touhouimageclassification_tpu.infer.serve --model vit-large
+--image data/testset --weights <ckpt> --output result/x.csv --full``
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FILTERED_DATA_DIR, get_image_size
+from ..utils.jaxcache import enable_compile_cache
+from ..data.folder import IMG_EXTENSIONS, get_class_to_idx
+from ..data.loader import decode_image
+from ..models import apply_model, create_model
+from ..ops.augment import normalize, resize
+from ..utils.mean_std import get_mean_std
+
+# Default checkpoint registry (orbax params dirs), mirroring
+# TIC/utils/serve.py:18-22. Entries are created by training runs or by the
+# .pth converter.
+model_checkpoints: dict[str, str] = {
+    "resnet": "checkpoint/serving/resnet152",
+    "vit-base": "checkpoint/serving/vit_base_finetune",
+    "vit-large": "checkpoint/serving/vit_large_finetune",
+    "nvit": "checkpoint/serving/nvit",
+    "resmoe": "checkpoint/serving/resmoe",
+}
+
+_SERVE_TYPE_ALIASES = {"resnet": "resnet152", "nvit": "vit-large", "resmoe": "vit-moe"}
+
+BUCKETS = (1, 8, 64)
+
+
+def get_model(model_type: str, num_classes: int):
+    """Model-type dispatch (``serve.py:24-45``); 'resnet' = resnet152."""
+    mt = model_type.lower().replace("_", "-")
+    return create_model(_SERVE_TYPE_ALIASES.get(mt, mt), num_classes=num_classes)
+
+
+def load_weights(path: str, model=None, num_classes: int | None = None):
+    """Load serving weights.
+
+    Accepts: an Orbax params dir (from ``save_params``), an Orbax training
+    checkpoint (full TrainState — params are extracted, tolerating the same
+    format diversity the reference handles at ``serve.py:71-77``), or a
+    reference ``.pth`` (converted via utils/convert).
+    """
+    if path.endswith((".pth", ".pt", ".bin", ".safetensors")):
+        from ..utils.convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, model, num_classes)
+    from ..train.checkpoint import load_params
+
+    restored = load_params(path)
+    model_state = {}
+    if isinstance(restored, dict):
+        if "params" in restored:
+            model_state = restored.get("model_state") or {}
+            restored = restored["params"]
+    return restored, model_state
+
+
+@dataclass
+class Predictor:
+    """Frozen-weights jitted inference with padded batch buckets."""
+
+    model: Any
+    params: Any
+    model_state: Any
+    class_to_idx: dict[str, int]
+    image_size: tuple[int, int]
+    mean: np.ndarray
+    std: np.ndarray
+
+    def __post_init__(self):
+        enable_compile_cache()
+        self.idx_to_class = {v: k for k, v in self.class_to_idx.items()}
+        mean = tuple(float(m) for m in np.asarray(self.mean).reshape(-1))
+        std = tuple(float(s) for s in np.asarray(self.std).reshape(-1))
+
+        model, image_size = self.model, self.image_size
+
+        @partial(jax.jit, static_argnames=())
+        def _predict(params, model_state, images_u8):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            if imgs.shape[1:3] != image_size:
+                imgs = resize(imgs, image_size)
+            imgs = normalize(imgs, mean, std)
+            outputs, _ = apply_model(
+                model, {"params": params, **model_state}, imgs, train=False
+            )
+            logits = outputs[0] if isinstance(outputs, tuple) else outputs
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            conf = jnp.max(probs, axis=-1)
+            pred = jnp.argmax(probs, axis=-1)
+            return pred, conf
+
+        self._predict = _predict
+        # keep weights on device once
+        self._params = jax.device_put(self.params)
+        self._model_state = jax.device_put(self.model_state)
+
+    def warmup(self, buckets=BUCKETS) -> None:
+        for b in buckets:
+            dummy = np.zeros((b, *self.image_size, 3), np.uint8)
+            jax.block_until_ready(self._predict(self._params, self._model_state, dummy))
+
+    def predict_array(self, images_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(N,H,W,3) uint8 -> (pred_idx (N,), confidence (N,)). Pads to the
+        smallest compiled bucket >= N."""
+        n = images_u8.shape[0]
+        bucket = next((b for b in BUCKETS if b >= n), None)
+        if bucket is None:
+            preds, confs = [], []
+            step = BUCKETS[-1]
+            for i in range(0, n, step):
+                p, c = self.predict_array(images_u8[i:i + step])
+                preds.append(p)
+                confs.append(c)
+            return np.concatenate(preds), np.concatenate(confs)
+        padded = np.zeros((bucket, *images_u8.shape[1:]), np.uint8)
+        padded[:n] = images_u8
+        pred, conf = self._predict(self._params, self._model_state, padded)
+        return np.asarray(pred)[:n], np.asarray(conf)[:n]
+
+    def predict_images(self, pil_images) -> list[tuple[str, float]]:
+        arr = np.stack(
+            [_pil_to_canvas(im, self.image_size) for im in pil_images]
+        )
+        pred, conf = self.predict_array(arr)
+        return [(self.idx_to_class[int(p)], float(c)) for p, c in zip(pred, conf)]
+
+
+def _pil_to_canvas(im, image_size) -> np.ndarray:
+    from PIL import Image
+
+    im = im.convert("RGB").resize((image_size[1], image_size[0]), Image.BILINEAR)
+    return np.asarray(im, np.uint8)
+
+
+def serve(predictor: Predictor, image) -> tuple[str, float]:
+    """Single-image predict (``serve.py:83-114``): returns
+    (class_name, confidence)."""
+    return predictor.predict_images([image])[0]
+
+
+def init(
+    args=None, modelt=None, weights=None, data_dir: str = FILTERED_DATA_DIR
+) -> Predictor:
+    """Build a Predictor: class map + weights + normalization statistics
+    (``serve.py:116-156``)."""
+    if args:
+        modelt = args.model
+        weights = getattr(args, "weights", None)
+        data_dir = getattr(args, "data_dir", None) or data_dir
+    class_to_idx = get_class_to_idx(data_dir)
+    num_classes = len(class_to_idx)
+    mt = modelt.lower().replace("_", "-")
+    model = get_model(mt, num_classes)
+    if weights is None:
+        weights = model_checkpoints.get(mt)
+        if weights is None:
+            raise ValueError(f"No default checkpoint found for model type: {mt}")
+    params, model_state = load_weights(weights, model, num_classes)
+    image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
+    mean, std = get_mean_std(data_dir, image_size)
+    return Predictor(
+        model=model, params=params, model_state=model_state,
+        class_to_idx=class_to_idx, image_size=image_size, mean=mean, std=std,
+    )
+
+
+def full_judge(
+    predictor: Predictor,
+    image_dir: str,
+    output: str | None = None,
+    batch_size: int = 64,
+    progress: bool = True,
+) -> float:
+    """Directory walk -> batched scoring -> CSV + accuracy
+    (``serve.py:158-230``; same CSV schema, batched instead of batch-1)."""
+    entries: list[tuple[str, str, str]] = []  # (filename, label, path)
+    for root, _dirs, files in os.walk(image_dir):
+        for filename in sorted(files):
+            if os.path.splitext(filename)[1].lower() in IMG_EXTENSIONS:
+                entries.append((filename, os.path.basename(root), os.path.join(root, filename)))
+    print(f"Total images to process: {len(entries)}")
+
+    out_f = open(output, "w") if output else None
+    if out_f:
+        print("filename,predicted_class,confidence,actual_class,correct,path", file=out_f)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    correct_cnt, cnt = 0, 0
+    iterator = range(0, len(entries), batch_size)
+    if progress:
+        import tqdm
+
+        iterator = tqdm.tqdm(iterator, desc="Processing batches", unit="batch")
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        for start in iterator:
+            chunk = entries[start:start + batch_size]
+            imgs = list(
+                pool.map(lambda e: decode_image(e[2], predictor.image_size), chunk)
+            )
+            pred, conf = predictor.predict_array(np.stack(imgs))
+            for (filename, label, path), p, c in zip(chunk, pred, conf):
+                predicted = predictor.idx_to_class[int(p)]
+                ok = predicted == label
+                cnt += 1
+                correct_cnt += ok
+                if out_f:
+                    out_f.write(f"{filename},{predicted},{float(c):.4f},{label},{ok},{path}\n")
+    if out_f:
+        out_f.close()
+    acc = correct_cnt / cnt if cnt else 0.0
+    print(
+        f"Total images processed: {cnt}, Correct predictions: {correct_cnt}, "
+        f"Accuracy: {acc * 100:.2f}%"
+    )
+    return acc
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Serve a model for inference.")
+    parser.add_argument("--model", type=str, required=True,
+                        choices=["resnet", "vit-base", "vit-large", "nvit", "resmoe"])
+    parser.add_argument("--image", type=str, required=True,
+                        help="Path to an image or a directory of images.")
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--data-dir", type=str, default=FILTERED_DATA_DIR)
+    parser.add_argument("-o", "--output", type=str, default="serve.out")
+    parser.add_argument("--full", action="store_true")
+    args = parser.parse_args(argv)
+
+    predictor = init(args, data_dir=args.data_dir)
+    if args.full:
+        full_judge(predictor, args.image, args.output)
+        return
+    if os.path.isfile(args.image):
+        from PIL import Image
+
+        with Image.open(args.image) as im:
+            predicted, confidence = serve(predictor, im)
+        print(f"Prediction: {predicted} (Confidence: {confidence:.4f})")
+    elif os.path.isdir(args.image):
+        with open(args.output, "a") as f:
+            for filename in sorted(os.listdir(args.image)):
+                path = os.path.join(args.image, filename)
+                if os.path.isfile(path) and os.path.splitext(filename)[1].lower() in IMG_EXTENSIONS:
+                    from PIL import Image
+
+                    with Image.open(path) as im:
+                        predicted, confidence = serve(predictor, im)
+                    print(f"Prediction: {predicted} (Confidence: {confidence:.4f})")
+                    f.write(f"{filename} {predicted} {confidence:.4f}\n")
+    else:
+        raise SystemExit(f"Error: Image path '{args.image}' is not valid.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""ResMoE: mixture of ViT experts with a ViT gate.
+
+Reference architecture (``TIC/ResMoE/model.py:11-72``): N full ViT-Base
+experts + a ViT-Base gating network (top-k over expert logits, +0.01
+gaussian noise during training, softmax over the top-k), identity shared
+backbone. The reference computes ALL experts on every sample and only
+reweights outputs (dense-compute, sparse-only-in-weighting —
+``model.py:56-57``).
+
+TPU-native design:
+- experts are ONE module with stacked parameters (``nn.vmap`` over the
+  expert axis) — a single compiled program instead of a Python loop over
+  submodules,
+- ``routing='dense'`` reproduces the reference numerics exactly (all experts
+  computed, gate scattered to a dense (B, E) weight matrix),
+- ``routing='sparse'`` uses capacity-based top-k dispatch
+  (``ops/moe_dispatch.py``): K/E of the dense FLOPs,
+- the stacked expert axis is shardable over the mesh's ``expert`` axis for
+  expert parallelism (``parallel/``): params P('expert') on axis 0.
+
+Returns ``(combined_logits, gate_weights, top_k_indices)`` like the
+reference forward (``model.py:58``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import MoEConfig, vit_config
+from ..ops import moe_dispatch as md
+from .vit import ViT
+
+
+def _expert_vit_cfg(cfg: MoEConfig):
+    base = cfg.expert_vit or vit_config(cfg.expert_model_name)
+    return dataclasses.replace(base, num_classes=cfg.num_classes)
+
+
+def _gate_vit_cfg(cfg: MoEConfig):
+    base = cfg.expert_vit or vit_config(cfg.expert_model_name)
+    return dataclasses.replace(base, num_classes=cfg.num_experts)
+
+
+class GatingNetwork(nn.Module):
+    """ViT gate: logits over experts -> (softmaxed top-k weights, indices).
+    Training-time exploration noise ~N(0, gateway_t) as at
+    ``TIC/ResMoE/model.py:33-38``."""
+
+    cfg: MoEConfig
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        logits = ViT(_gate_vit_cfg(self.cfg), compute_dtype=self.compute_dtype,
+                     name="vit")(x, deterministic=deterministic)
+        if not deterministic:
+            noise = jax.random.normal(self.make_rng("gate"), logits.shape)
+            logits = logits + noise * self.cfg.gateway_t
+        top_w, top_i = jax.lax.top_k(logits, self.cfg.top_k)
+        return jax.nn.softmax(top_w, axis=-1), top_i
+
+
+class MoEClassifier(nn.Module):
+    cfg: MoEConfig
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        b = x.shape[0]
+        gate_w, top_i = GatingNetwork(cfg, self.compute_dtype, name="gate")(
+            x, deterministic=deterministic
+        )
+        # dense (B, E) gate matrix — returned for the load-balance loss
+        # (scatter of top-k weights, TIC/ResMoE/model.py:53-54)
+        gate_dense = jnp.zeros((b, cfg.num_experts), gate_w.dtype)
+        gate_dense = gate_dense.at[
+            jnp.arange(b)[:, None], top_i
+        ].set(gate_w)
+
+        ExpertStack = nn.vmap(
+            ViT,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, None),
+            out_axes=0,
+            axis_size=cfg.num_experts,
+            metadata_params={nn.meta.PARTITION_NAME: "expert"},
+        )
+        expert_cfg = _expert_vit_cfg(cfg)
+
+        if cfg.routing == "dense":
+            xs = jnp.broadcast_to(x[None], (cfg.num_experts, *x.shape))
+            expert_logits = ExpertStack(
+                expert_cfg, self.compute_dtype, name="experts"
+            )(xs, deterministic)                                   # (E, B, C)
+            combined = jnp.einsum(
+                "be,ebc->bc", gate_dense.astype(jnp.float32),
+                expert_logits.astype(jnp.float32),
+            )
+        else:
+            capacity = md.capacity_for(b, cfg.top_k, cfg.num_experts,
+                                       cfg.capacity_factor)
+            plan = md.make_dispatch_plan(top_i, cfg.num_experts, capacity)
+            xs = md.dispatch(plan, x)                              # (E, C, H, W, 3)
+            expert_logits = ExpertStack(
+                expert_cfg, self.compute_dtype, name="experts"
+            )(xs, deterministic)                                   # (E, C, classes)
+            combined = md.combine(
+                plan, expert_logits.astype(jnp.float32), gate_w, b
+            )
+        return combined, gate_dense, top_i
+
+
+def make_vit_moe(num_classes: int, num_experts: int = 8, top_k: int = 2,
+                 gateway_t: float = 0.01, routing: str = "dense",
+                 model_name: str = "google/vit-base-patch16-224") -> MoEClassifier:
+    """Factory parity with ``make_ViTMoE`` (``TIC/ResMoE/model.py:60-72``)."""
+    return MoEClassifier(MoEConfig(
+        num_experts=num_experts, top_k=top_k, expert_model_name=model_name,
+        gateway_t=gateway_t, num_classes=num_classes, routing=routing,
+    ))

@@ -1,0 +1,81 @@
+"""TreeViT: hierarchical classifier — root picks categories, sons classify.
+
+Reference (``TIC/TreeViT/model.py:7-30``): a root ViT scores C categories,
+top-k categories are picked per sample, each sample is pushed through its
+chosen son ViTs via a per-sample Python loop, and son logits are combined
+with softmaxed top-k weights (bmm).
+
+TPU-native design: the per-sample loop (``model.py:19-22`` — data-dependent
+Python control flow, unjittable) becomes the same capacity-based dispatch
+used by sparse MoE: sons are one stacked module, chosen samples are gathered
+per son, computed in one vmapped forward, and combined with a segment-sum.
+Identical math, static shapes, one XLA program.
+
+Returns ``(combined_logits, root_choice_logits)`` — the root logits feed the
+staged curriculum trainer (root trained on category labels first,
+``TIC/TreeViT/train.py``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TreeViTConfig, VIT_BASE
+import dataclasses
+
+from ..ops import moe_dispatch as md
+from .vit import ViT
+
+
+class TreeViT(nn.Module):
+    cfg: TreeViTConfig
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, route_labels=None):
+        """``route_labels`` (B,) int: teacher-forced routing — each sample is
+        sent ONLY to the son of that category with weight 1. Used by the
+        staged curriculum's sons stage (the TPU-parallel equivalent of the
+        reference's sequential per-son training, ``TIC/TreeViT/train.py``)."""
+        cfg = self.cfg
+        b = x.shape[0]
+        base = cfg.vit or VIT_BASE
+        root_cfg = dataclasses.replace(base, num_classes=cfg.num_categories)
+        son_cfg = dataclasses.replace(base, num_classes=cfg.num_classes)
+
+        choice = ViT(root_cfg, self.compute_dtype, name="root")(
+            x, deterministic=deterministic
+        )                                                     # (B, S)
+        if route_labels is not None:
+            top_i = route_labels.reshape(b, 1).astype(jnp.int32)
+            smoothed = jnp.ones((b, 1), jnp.float32)
+        else:
+            top_w, top_i = jax.lax.top_k(choice, cfg.top_k)   # (B, K)
+            smoothed = jax.nn.softmax(top_w, axis=-1)
+
+        SonStack = nn.vmap(
+            ViT,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, None),
+            out_axes=0,
+            axis_size=cfg.num_categories,
+            metadata_params={nn.meta.PARTITION_NAME: "expert"},
+        )
+        capacity = md.capacity_for(b, cfg.top_k, cfg.num_categories,
+                                   cfg.capacity_factor)
+        plan = md.make_dispatch_plan(top_i, cfg.num_categories, capacity)
+        xs = md.dispatch(plan, x)                              # (S, C, H, W, 3)
+        son_logits = SonStack(son_cfg, self.compute_dtype, name="sons")(
+            xs, deterministic
+        )                                                      # (S, C, classes)
+        combined = md.combine(plan, son_logits.astype(jnp.float32), smoothed, b)
+        return combined, choice
+
+
+def make_tree_vit(num_categories: int, num_classes: int, top_k: int = 2) -> TreeViT:
+    """Factory parity with ``make_TreeViT`` (``TIC/TreeViT/model.py:25-30``)."""
+    return TreeViT(TreeViTConfig(
+        num_categories=num_categories, num_classes=num_classes, top_k=top_k,
+    ))

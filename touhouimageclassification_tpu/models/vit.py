@@ -196,9 +196,12 @@ class ViT(nn.Module):
         if cfg.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
 
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
+        )
         for i in range(cfg.num_layers):
-            x = EncoderLayer(cfg, dtype=dtype, name=f"layer_{i}")(
-                x, deterministic=deterministic
+            x = layer_cls(cfg, dtype=dtype, name=f"layer_{i}")(
+                x, deterministic
             )
 
         x = nn.LayerNorm(

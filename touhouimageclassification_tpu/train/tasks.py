@@ -1,0 +1,103 @@
+"""Family-specific training tasks plugged into the unified Trainer.
+
+- :class:`MoETask` — the ResMoE objective (``TIC/ResMoE/train.py:21-74``):
+  symmetric CE + load-balance penalty, one-hot targets, plus logged
+  classification/balance components.
+- :class:`TreeRootTask` / :class:`TreeSonsTask` / :class:`TreeFullTask` — the
+  TreeViT staged curriculum (``TIC/TreeViT/train.py:139-179``), with the
+  reference's WIP bugs fixed (SURVEY §"Reference bugs"): root is trained on
+  (image -> category) labels, sons are trained teacher-routed on their own
+  categories IN PARALLEL (the TPU equivalent of the reference's sequential
+  per-son loops), then the full tree end-to-end. The reference applies its
+  ``symmetric_cross_entropy`` to integer targets, which crashes in torch;
+  here targets are one-hot so SCE is well-defined.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MoEConfig, TreeViTConfig
+from ..models import apply_model
+from . import losses
+from .trainer import ClassificationTask
+
+
+class MoETask(ClassificationTask):
+    def __init__(self, cfg: MoEConfig):
+        self.cfg = cfg
+
+    def loss(self, outputs, soft_labels):
+        logits, gate_dense, _top_i = outputs
+        cls_loss = losses.symmetric_cross_entropy(
+            logits, soft_labels, self.cfg.sce_alpha, self.cfg.sce_beta
+        )
+        bal_loss = losses.load_balance_loss(gate_dense)
+        total = cls_loss + self.cfg.balance_loss_alpha * bal_loss
+        return total, {"classification_loss": cls_loss, "balance_loss": bal_loss}
+
+    def logits(self, outputs):
+        return outputs[0]
+
+
+class _TreeTaskBase(ClassificationTask):
+    """Shared plumbing: category map (class idx -> category idx) as a static
+    device array for relabeling/routing."""
+
+    def __init__(self, cfg: TreeViTConfig, class_to_category: np.ndarray):
+        self.cfg = cfg
+        self.class_to_category = jnp.asarray(class_to_category, jnp.int32)
+
+
+class TreeRootTask(_TreeTaskBase):
+    """Stage 1: root learns (image -> category). Sons frozen by the stage's
+    optimizer mask (see ``train/treevit.py``)."""
+
+    def loss(self, outputs, soft_labels):
+        _combined, choice = outputs
+        # map class one-hots to category one-hots: matmul with the 0/1 map
+        n_cat = int(self.cfg.num_categories)
+        cat_map = jnp.zeros((soft_labels.shape[-1], n_cat), soft_labels.dtype)
+        cat_map = cat_map.at[
+            jnp.arange(soft_labels.shape[-1]), self.class_to_category
+        ].set(1.0)
+        cat_targets = soft_labels @ cat_map
+        return losses.symmetric_cross_entropy(choice, cat_targets), {}
+
+    def logits(self, outputs):
+        return outputs[1]  # category logits; eval labels must be categories
+
+
+class TreeSonsTask(_TreeTaskBase):
+    """Stage 2: teacher-forced routing to the true category's son; every son
+    trains on its own subset simultaneously."""
+
+    def forward(self, model, variables, images, batch, train, rngs):
+        route = self.class_to_category[batch["label"]]
+        if train:
+            out, new_ms = apply_model(model, variables, images, train=True, rngs=rngs)
+            # apply_model handles the deterministic kwarg; route_labels needs
+            # a direct apply call instead:
+        out = model.apply(
+            variables, images, deterministic=not train, route_labels=route,
+            rngs=rngs if train else None,
+        )
+        return out, {}
+
+    def loss(self, outputs, soft_labels):
+        combined, _choice = outputs
+        return losses.symmetric_cross_entropy(combined, soft_labels), {}
+
+    def logits(self, outputs):
+        return outputs[0]
+
+
+class TreeFullTask(_TreeTaskBase):
+    """Stage 3: end-to-end on class labels through root routing."""
+
+    def loss(self, outputs, soft_labels):
+        combined, _choice = outputs
+        return losses.symmetric_cross_entropy(combined, soft_labels), {}
+
+    def logits(self, outputs):
+        return outputs[0]

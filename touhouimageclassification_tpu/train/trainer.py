@@ -39,6 +39,7 @@ from ..models import apply_model, create_model
 from ..ops.augment import build_augment_fn, build_eval_fn
 from ..ops.mixup import cutmix_or_mixup
 from ..parallel.mesh import create_mesh, data_sharding, replicated
+from ..utils.jaxcache import enable_compile_cache
 from ..utils.logging import get_logger
 from . import losses
 from .checkpoint import CheckpointManager
@@ -54,7 +55,15 @@ class TrainState:
 
 
 class ClassificationTask:
-    """Default task: model outputs logits; CE on (possibly soft) targets."""
+    """Default task: model outputs logits; CE on (possibly soft) targets.
+
+    Tasks own (a) the forward (so families with auxiliary outputs or
+    batch-dependent routing — MoE, TreeViT stages — can specialize it),
+    (b) the loss on soft targets, and (c) logits extraction for eval.
+    """
+
+    def forward(self, model, variables, images, batch, train, rngs):
+        return apply_model(model, variables, images, train=train, rngs=rngs)
 
     def loss(self, outputs, soft_labels):
         return losses.cross_entropy(outputs, soft_labels), {}
@@ -72,6 +81,7 @@ class Trainer:
         mesh=None,
         init_params=None,
     ):
+        enable_compile_cache()
         self.cfg = cfg
         self.model = model if model is not None else create_model(cfg.model_type)
         self.task = task or ClassificationTask()
@@ -162,12 +172,13 @@ class Trainer:
                 )
 
             def loss_fn(params):
-                outputs, new_ms = apply_model(
+                outputs, new_ms = task.forward(
                     model,
                     {"params": params, **state.model_state},
                     images,
-                    train=True,
-                    rngs={"dropout": k_drop, "gate": k_drop},
+                    batch,
+                    True,
+                    {"dropout": k_drop, "gate": k_drop},
                 )
                 loss, aux = task.loss(outputs, labels)
                 return loss, (new_ms, aux)
@@ -195,8 +206,9 @@ class Trainer:
 
         def eval_step(state: TrainState, batch):
             images = eval_transform(batch["image"].astype(jnp.float32) / 255.0)
-            outputs, _ = apply_model(
-                model, {"params": state.params, **state.model_state}, images, train=False
+            outputs, _ = task.forward(
+                model, {"params": state.params, **state.model_state}, images,
+                batch, False, None,
             )
             logits = task.logits(outputs)
             labels = batch["label"]

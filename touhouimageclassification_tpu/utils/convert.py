@@ -1,0 +1,237 @@
+"""Checkpoint conversion: torch (HF ViT / torchvision-style ResNet) -> Flax.
+
+The runtime has no network access, so the reference's download-on-demand
+``ensure()`` (``TIC/utils/ensure.py:11-15``) is replaced by a converter that
+turns locally available torch artifacts — reference ``.pth`` checkpoints
+(bare HF state dicts, tuple checkpoints, Lightning exports) or HF snapshot
+directories — into this framework's parameter pytrees, bit-exactly:
+
+- HF ``ViTForImageClassification`` (``vit.embeddings...``/``classifier.*``
+  keys) -> the fused-QKV flax tree of ``models/vit.py``,
+- the reference's torchvision-style ResNet (``TIC/ResNet/model.py``) ->
+  ``models/resnet.py`` params + batch_stats.
+
+Head-mismatch semantics follow ``ignore_mismatched_sizes=True``
+(``TIC/ViT/model.py:27-32``): a classifier whose shape disagrees with
+``num_classes`` is re-initialized (normal(0.02), HF's initializer_range).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _strip_prefixes(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Normalize key prefixes across the reference's checkpoint styles
+    (bare HF, Lightning's ``vit.``-prefixed module, ``model.`` wrappers)."""
+    out = {k: v for k, v in sd.items()}
+    for prefix in ("model.", "module."):
+        if all(k.startswith(prefix) for k in out):
+            out = {k[len(prefix):]: v for k, v in out.items()}
+    # Lightning ViTLModule: self.vit = HF model -> keys 'vit.vit.*' and
+    # 'vit.classifier.*'; bare HF keys are 'vit.*' and 'classifier.*'.
+    if any(k.startswith("vit.vit.") for k in out):
+        out = {k[len("vit."):]: v for k, v in out.items() if k.startswith("vit.")}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+
+def torch_vit_to_flax(
+    state_dict: Mapping[str, Any],
+    num_classes: int,
+    head_init_seed: int = 0,
+) -> dict:
+    """HF ``ViTForImageClassification`` torch state dict -> flax params for
+    :class:`models.vit.ViT`. Infers depth/width from the keys."""
+    sd = {k: _np(v) for k, v in _strip_prefixes(state_dict).items()}
+
+    hidden = sd["vit.embeddings.cls_token"].shape[-1]
+    layers = sorted(
+        {int(m.group(1)) for k in sd
+         if (m := re.match(r"vit\.encoder\.layer\.(\d+)\.", k))}
+    )
+
+    params: dict[str, Any] = {
+        "cls_token": sd["vit.embeddings.cls_token"],
+        "pos_embed": sd["vit.embeddings.position_embeddings"],
+        "patch_embed": {"proj": {
+            # conv OIHW (H,3,P,P) -> flat (ph, pw, c) x out
+            "kernel": sd["vit.embeddings.patch_embeddings.projection.weight"]
+            .transpose(2, 3, 1, 0).reshape(-1, hidden),
+            "bias": sd["vit.embeddings.patch_embeddings.projection.bias"],
+        }},
+        "final_ln": {
+            "scale": sd["vit.layernorm.weight"],
+            "bias": sd["vit.layernorm.bias"],
+        },
+    }
+    for i in layers:
+        p = f"vit.encoder.layer.{i}."
+        qkv_kernel = np.concatenate(
+            [sd[p + f"attention.attention.{n}.weight"].T for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_bias = np.concatenate(
+            [sd[p + f"attention.attention.{n}.bias"] for n in ("query", "key", "value")]
+        )
+        params[f"layer_{i}"] = {
+            "ln1": {"scale": sd[p + "layernorm_before.weight"],
+                    "bias": sd[p + "layernorm_before.bias"]},
+            "ln2": {"scale": sd[p + "layernorm_after.weight"],
+                    "bias": sd[p + "layernorm_after.bias"]},
+            "attn": {
+                "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+                "out": {"kernel": sd[p + "attention.output.dense.weight"].T,
+                        "bias": sd[p + "attention.output.dense.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": sd[p + "intermediate.dense.weight"].T,
+                        "bias": sd[p + "intermediate.dense.bias"]},
+                "fc2": {"kernel": sd[p + "output.dense.weight"].T,
+                        "bias": sd[p + "output.dense.bias"]},
+            },
+        }
+
+    head_w = sd.get("classifier.weight")
+    if head_w is not None and head_w.shape[0] == num_classes:
+        params["head"] = {"kernel": head_w.T, "bias": sd["classifier.bias"]}
+    else:
+        # ignore_mismatched_sizes: fresh head, HF initializer_range=0.02
+        rng = np.random.default_rng(head_init_seed)
+        params["head"] = {
+            "kernel": rng.normal(0.0, 0.02, (hidden, num_classes)).astype(np.float32),
+            "bias": np.zeros((num_classes,), np.float32),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ResNet
+# ---------------------------------------------------------------------------
+
+def torch_resnet_to_flax(
+    state_dict: Mapping[str, Any], num_classes: int
+) -> tuple[dict, dict]:
+    """Reference/torchvision ResNet state dict -> (params, batch_stats) for
+    :class:`models.resnet.ResNet`."""
+    sd = {k: _np(v) for k, v in _strip_prefixes(state_dict).items()}
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = leaf
+
+    def conv(src):
+        return {"kernel": sd[src + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(src, dst):
+        put(params, dst + ("scale",), sd[src + ".weight"])
+        put(params, dst + ("bias",), sd[src + ".bias"])
+        put(stats, dst + ("mean",), sd[src + ".running_mean"])
+        put(stats, dst + ("var",), sd[src + ".running_var"])
+
+    put(params, ("stem_conv", "kernel"), conv("conv1")["kernel"])
+    bn("bn1", ("stem_bn",))
+
+    stage_blocks: dict[int, int] = {}
+    for k in sd:
+        m = re.match(r"layer(\d)\.(\d+)\.", k)
+        if m:
+            s, b = int(m.group(1)), int(m.group(2))
+            stage_blocks[s] = max(stage_blocks.get(s, 0), b + 1)
+
+    for s, nblocks in sorted(stage_blocks.items()):
+        for b in range(nblocks):
+            src = f"layer{s}.{b}"
+            dst = f"stage{s}_block{b}"
+            n_convs = 3 if f"{src}.conv3.weight" in sd else 2
+            for j in range(1, n_convs + 1):
+                put(params, (dst, f"conv{j}", "kernel"), conv(f"{src}.conv{j}")["kernel"])
+                bn(f"{src}.bn{j}", (dst, f"bn{j}"))
+            if f"{src}.downsample.0.weight" in sd:
+                put(params, (dst, "downsample_conv", "kernel"),
+                    conv(f"{src}.downsample.0")["kernel"])
+                bn(f"{src}.downsample.1", (dst, "downsample_bn"))
+
+    fc_w = sd.get("fc.weight")
+    if fc_w is not None and fc_w.shape[0] == num_classes:
+        params["head"] = {"kernel": fc_w.T, "bias": sd["fc.bias"]}
+    else:
+        rng = np.random.default_rng(0)
+        width = sd["bn1.weight"].shape[0] * (8 if any(
+            k.startswith("layer4") and ".conv3." in k for k in sd) else 1) * 8
+        params["head"] = {
+            "kernel": rng.normal(0.0, 0.02, (width, num_classes)).astype(np.float32),
+            "bias": np.zeros((num_classes,), np.float32),
+        }
+    return params, {"batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str, model, num_classes: int):
+    """Reference ``.pth`` -> (params, model_state). Tolerates the tuple
+    checkpoints ``(model_sd, optim[, sched])`` and dict formats the reference
+    loaders accept (``TIC/utils/serve.py:71-77``)."""
+    import torch
+
+    from ..models.resnet import ResNet
+    from ..models.vit import ViT
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, tuple):
+        ckpt = ckpt[0]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if isinstance(ckpt, dict) and "model" in ckpt and all(
+        hasattr(v, "shape") for v in ckpt["model"].values()
+    ):
+        ckpt = ckpt["model"]
+
+    if isinstance(model, ViT):
+        return torch_vit_to_flax(ckpt, num_classes), {}
+    if isinstance(model, ResNet):
+        return torch_resnet_to_flax(ckpt, num_classes)
+    raise NotImplementedError(f"No torch converter for {type(model).__name__}")
+
+
+def convert_and_save(path: str, model_type: str, num_classes: int, out_dir: str):
+    """CLI helper: ``.pth`` -> Orbax params dir consumable by serve."""
+    from ..models import create_model
+    from ..train.checkpoint import save_params
+
+    model = create_model(model_type, num_classes=num_classes)
+    params, model_state = load_torch_checkpoint(path, model, num_classes)
+    payload = {"params": params}
+    if model_state:
+        payload["model_state"] = model_state
+    save_params(out_dir, payload)
+    return out_dir
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Convert torch checkpoints to Orbax")
+    parser.add_argument("--input", required=True, help=".pth checkpoint path")
+    parser.add_argument("--model", required=True, help="model type (vit-large, resnet152, ...)")
+    parser.add_argument("--num-classes", type=int, default=120)
+    parser.add_argument("--output", required=True, help="output Orbax dir")
+    args = parser.parse_args()
+    convert_and_save(args.input, args.model, args.num_classes, args.output)
+    print(f"Saved converted params to {args.output}")
