@@ -1,0 +1,122 @@
+"""Shared training-CLI plumbing: dataset assembly, run loop, serving export.
+
+Reference surface: every trainer entry point takes ``--restore`` (checkpoint
+path / resume), ``--test`` (evaluate on the test set), ``--transform``
+(export a training checkpoint to serving weights) — ``TIC/ViT/ntrain.py:
+178-194``, ``TIC/ResMoE/train.py:151-185``.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+from ..config import TrainConfig
+from ..data.folder import random_split, scan_image_folder
+from ..data.loader import HostImageLoader
+from .checkpoint import CheckpointManager, save_params
+from .trainer import Trainer
+
+
+def canvas_for(cfg: TrainConfig, out_size: tuple[int, int]) -> tuple[int, int]:
+    """Host decode canvas: RandomResizedCrop recipes keep ~8/7 headroom
+    (224 -> 256) so zoom-out crops retain detail; other recipes decode
+    straight to the model size."""
+    aug = cfg.augment
+    rrc = aug.enable_augmentation and not aug.only_grey_augmentation and aug.enable_generalization
+    if not rrc:
+        return out_size
+    return tuple(int(math.ceil(s * 8 / 7 / 8) * 8) for s in out_size)
+
+
+def build_loaders(cfg: TrainConfig, out_size: tuple[int, int]):
+    """train/val from cfg.data_dir (random split, seed cfg.seed); test from
+    cfg.test_dir when it exists."""
+    index = scan_image_folder(cfg.data_dir)
+    tr_idx, va_idx = random_split(len(index), cfg.train_split, cfg.seed)
+    canvas = canvas_for(cfg, out_size)
+    train = HostImageLoader(index, tr_idx, batch_size=cfg.global_batch_size,
+                            canvas=canvas, shuffle=True, seed=cfg.seed,
+                            drop_last=True)
+    val = HostImageLoader(index, va_idx, batch_size=cfg.global_batch_size,
+                          canvas=out_size, shuffle=False, drop_last=False)
+    test = None
+    if cfg.test_dir and os.path.isdir(cfg.test_dir):
+        t_index = scan_image_folder(cfg.test_dir)
+        test = HostImageLoader(t_index, batch_size=cfg.global_batch_size,
+                               canvas=out_size, shuffle=False, drop_last=False)
+    return train, val, test, index
+
+
+def export_for_serving(cfg: TrainConfig, trainer: Trainer, out_path: str,
+                       epoch: int | None = None) -> str:
+    """--transform: training checkpoint -> bare serving params
+    (``ntrain.py:188-194`` / ``extract_ckpt.py`` analogue). Picks the best
+    epoch by the monitored metric unless ``epoch`` is given."""
+    ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
+    state = trainer.init_state()
+    epoch = epoch if epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
+    state = ckpt.restore(state, epoch)
+    payload = {"params": state.params}
+    if state.model_state:
+        payload["model_state"] = state.model_state
+    save_params(out_path, payload)
+    ckpt.close()
+    print(f"Exported epoch {epoch} serving params to {out_path}")
+    return out_path
+
+
+def standard_argparser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--restore", type=str, default=None,
+                   help="resume from checkpoint dir (default: auto-resume)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="start fresh even if checkpoints exist")
+    p.add_argument("--test", action="store_true", help="evaluate on the test set")
+    p.add_argument("--transform", type=str, default=None,
+                   help="export best checkpoint to serving params at PATH and exit")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    return p
+
+
+def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
+    import dataclasses
+
+    over = {}
+    if args.data_dir:
+        over["data_dir"] = args.data_dir
+    if args.max_epochs:
+        over["max_epochs"] = args.max_epochs
+    if args.batch_size:
+        over["global_batch_size"] = args.batch_size
+    return dataclasses.replace(cfg, **over) if over else cfg
+
+
+def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
+        init_params=None) -> Trainer:
+    """The common --transform/--test/fit flow."""
+    trainer = Trainer(cfg, model=model, task=task, param_filter=param_filter,
+                      init_params=init_params)
+
+    if args.transform:
+        export_for_serving(cfg, trainer, args.transform)
+        return trainer
+
+    train, val, test, _ = build_loaders(cfg, trainer.out_size)
+    if args.test:
+        # test-only mode against the latest checkpoint (the reference's
+        # --test semantics, TIC/ResMoE/train.py:183-185)
+        ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
+        state = trainer.init_state(train.steps_per_epoch())
+        if ckpt.latest_epoch() is not None:
+            state = ckpt.restore(state)
+        ckpt.close()
+        trainer.state = state
+        result = trainer.test(test if test is not None else val)
+        print(result)
+        return trainer
+
+    trainer.fit(train, val, resume=(args.restore or not args.no_resume))
+    return trainer

@@ -1,0 +1,43 @@
+"""Main-result ViT training (the ``TIC.ViT.ntrain`` equivalent).
+
+``python -m touhouimageclassification_tpu.train.ntrain [--preset nvit] ...``
+
+Presets map one-to-one to the reference launchers (``TIC/ViT/ntrain*.py``):
+nvit (main result: ViT-Large, filtered data, full augmentation + CutMix/MixUp,
+LR 1e-5, wd 0.01, 20 epochs), nvit_but_gen, nvit_but_div, nvit_but_mix,
+nvit_unfiltered, nvit_unfiltered_unaug, nvit_unfiltered_unmix, nvit_grey,
+nvit_grey_unmix. See ``config.PRESETS``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..config import PRESETS, VIT_LARGE, vit_config
+from ..models.vit import ViT
+from ..utils.pretrained import load_pretrained_backbone
+from .cli import apply_overrides, run, standard_argparser
+
+
+def main(argv=None, preset: str = "nvit"):
+    parser = standard_argparser("Train ViT with the ntrain recipe")
+    parser.add_argument("--preset", type=str, default=preset,
+                        choices=[k for k in PRESETS if k.startswith("nvit")])
+    parser.add_argument("--no-pretrained", action="store_true",
+                        help="scratch init instead of pretrained backbone")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder layers (larger batches)")
+    args = parser.parse_args(argv)
+
+    cfg = apply_overrides(PRESETS[args.preset], args)
+    vcfg = vit_config(cfg.model_type)
+    if args.remat:
+        vcfg = dataclasses.replace(vcfg, remat=True)
+    model = ViT(vcfg)
+    init_params = None
+    if cfg.pretrained and not args.no_pretrained:
+        init_params = load_pretrained_backbone(cfg.model_type, vcfg.num_classes)
+    run(cfg, args, model=model, init_params=init_params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""ResMoE training (the ``TIC.ResMoE.train`` equivalent).
+
+Reference recipe (``TIC/ResMoE/train.py`` + ``parameter.py``): 8 ViT-Base
+experts, top-2 ViT-Base gate, SGD 5e-2, batch 4 x grad-accum 4, 10 epochs,
+500/100 train/val batches per epoch, symmetric CE + 0.5*load-balance loss,
+dual checkpointing, --restore/--test/--transform CLI.
+
+TPU upgrades: ``--routing sparse`` switches the dense reference compute to
+capacity-based top-k dispatch, and ``--expert-shards N`` shards the stacked
+expert axis over the mesh's ``expert`` axis (expert parallelism).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..config import PRESETS, MeshConfig, MoEConfig
+from ..models.resmoe import MoEClassifier
+from .cli import apply_overrides, run, standard_argparser
+from .tasks import MoETask
+
+
+def main(argv=None):
+    parser = standard_argparser("Train the ResMoE mixture of ViT experts")
+    parser.add_argument("--routing", type=str, default="dense",
+                        choices=["dense", "sparse"])
+    parser.add_argument("--num-experts", type=int, default=8)
+    parser.add_argument("--top-k", type=int, default=2)
+    parser.add_argument("--expert-shards", type=int, default=1,
+                        help="shard experts over this many devices (EP)")
+    args = parser.parse_args(argv)
+
+    cfg = apply_overrides(PRESETS["resmoe"], args)
+    cfg = dataclasses.replace(
+        cfg, mesh=MeshConfig(num_expert_shards=args.expert_shards)
+    )
+    moe_cfg = MoEConfig(num_experts=args.num_experts, top_k=args.top_k,
+                        routing=args.routing)
+    model = MoEClassifier(moe_cfg)
+    run(cfg, args, model=model, task=MoETask(moe_cfg))
+
+
+if __name__ == "__main__":
+    main()

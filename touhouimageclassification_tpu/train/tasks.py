@@ -65,7 +65,12 @@ class TreeRootTask(_TreeTaskBase):
         return losses.symmetric_cross_entropy(choice, cat_targets), {}
 
     def logits(self, outputs):
-        return outputs[1]  # category logits; eval labels must be categories
+        return outputs[1]  # category logits
+
+    def labels(self, batch):
+        # eval in category space (the CategoryDataset relabeling,
+        # TIC/TreeViT/train.py:53-69)
+        return self.class_to_category[batch["label"]]
 
 
 class TreeSonsTask(_TreeTaskBase):
@@ -74,10 +79,6 @@ class TreeSonsTask(_TreeTaskBase):
 
     def forward(self, model, variables, images, batch, train, rngs):
         route = self.class_to_category[batch["label"]]
-        if train:
-            out, new_ms = apply_model(model, variables, images, train=True, rngs=rngs)
-            # apply_model handles the deterministic kwarg; route_labels needs
-            # a direct apply call instead:
         out = model.apply(
             variables, images, deterministic=not train, route_labels=route,
             rngs=rngs if train else None,

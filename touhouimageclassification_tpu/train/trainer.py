@@ -71,6 +71,10 @@ class ClassificationTask:
     def logits(self, outputs):
         return outputs
 
+    def labels(self, batch):
+        """Eval-space labels (TreeViT's root stage remaps to categories)."""
+        return batch["label"]
+
 
 class Trainer:
     def __init__(
@@ -80,6 +84,7 @@ class Trainer:
         task: ClassificationTask | None = None,
         mesh=None,
         init_params=None,
+        param_filter=None,
     ):
         enable_compile_cache()
         self.cfg = cfg
@@ -90,10 +95,11 @@ class Trainer:
         )
         self.logger = get_logger(cfg.train_id, cfg.log_dir)
         model_cfg = getattr(self.model, "cfg", None)
-        if model_cfg is not None and hasattr(model_cfg, "image_size") and isinstance(
-            model_cfg.image_size, int
-        ):
-            self.out_size = (model_cfg.image_size, model_cfg.image_size)
+        # MoE/Tree carry their ViT architecture in a sub-config
+        inner = getattr(model_cfg, "expert_vit", None) or getattr(model_cfg, "vit", None)
+        size_src = inner if inner is not None else model_cfg
+        if size_src is not None and isinstance(getattr(size_src, "image_size", None), int):
+            self.out_size = (size_src.image_size, size_src.image_size)
         else:
             self.out_size = get_image_size(cfg.model_type)
         self.num_classes = getattr(self.model.cfg, "num_classes")
@@ -101,6 +107,7 @@ class Trainer:
         self.eval_transform = build_eval_fn(cfg.augment, self.out_size)
         self._base_key = jax.random.key(cfg.seed)
         self._init_params = init_params
+        self.param_filter = param_filter
         self._batch_sharding = data_sharding(self.mesh, cfg.mesh.data_axis)
         self._replicated = replicated(self.mesh)
         self.tx: optax.GradientTransformation | None = None
@@ -112,13 +119,19 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _trainable_mask(self, params):
-        """full_finetune=False freezes everything but the head
-        (``ntrain.py:34-36``)."""
-        if self.cfg.full_finetune:
-            return jax.tree_util.tree_map(lambda _: True, params)
+        """Trainable-parameter mask. Priority: explicit ``param_filter``
+        (path tuple -> bool; used by TreeViT's staged curriculum), else
+        full_finetune=False freezes everything but the head
+        (``ntrain.py:34-36``), else everything trains."""
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         treedef = jax.tree_util.tree_structure(params)
-        mask = [any("head" in str(k) for k in path) for path, _ in flat]
+        if self.param_filter is not None:
+            mask = [self.param_filter(tuple(str(getattr(k, "key", k)) for k in path))
+                    for path, _ in flat]
+        elif not self.cfg.full_finetune:
+            mask = [any("head" in str(k) for k in path) for path, _ in flat]
+        else:
+            mask = [True for _ in flat]
         return jax.tree_util.tree_unflatten(treedef, mask)
 
     def init_state(self, steps_per_epoch: int = 1) -> TrainState:
@@ -133,12 +146,11 @@ class Trainer:
         tx = build_optimizer(
             self.cfg.optimizer, steps_per_epoch, nan_guard=self.cfg.nan_guard
         )
-        if not self.cfg.full_finetune:
+        mask = self._trainable_mask(params)
+        if not all(jax.tree_util.tree_leaves(mask)):
             tx = optax.multi_transform(
                 {"train": tx, "frozen": optax.set_to_zero()},
-                jax.tree_util.tree_map(
-                    lambda t: "train" if t else "frozen", self._trainable_mask(params)
-                ),
+                jax.tree_util.tree_map(lambda t: "train" if t else "frozen", mask),
             )
         self.tx = tx
         state = TrainState(
@@ -211,7 +223,7 @@ class Trainer:
                 batch, False, None,
             )
             logits = task.logits(outputs)
-            labels = batch["label"]
+            labels = task.labels(batch)
             mask = batch["mask"]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             per_sample = -logp[jnp.arange(labels.shape[0]), labels]
