@@ -1,0 +1,135 @@
+"""Aux tooling: sha check, dataset sampler, crawler pure logic, review state,
+augmentation visualizer."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fixtures import make_image_folder
+
+
+def test_check_sha(tmp_path):
+    from touhouimageclassification_tpu.utils.check_sha import check_folder
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "a").mkdir(parents=True)
+    (dst / "a").mkdir(parents=True)
+    (src / "a" / "1.bin").write_bytes(b"same-content")
+    (dst / "a" / "x.bin").write_bytes(b"same-content")   # duplicate content
+    (dst / "a" / "y.bin").write_bytes(b"different")
+    dup, uniq = check_folder(str(src), str(dst))
+    assert len(dup) == 1 and dup[0].endswith("x.bin")
+    assert len(uniq) == 1 and uniq[0].endswith("y.bin")
+
+
+def test_sample_dataset_and_reference(tmp_path):
+    from touhouimageclassification_tpu.utils.sample_dataset import (
+        add_reference, del_reference, sample_dataset,
+    )
+
+    src = make_image_folder(str(tmp_path / "src"), num_classes=3, per_class=10, size=8)
+    dst = str(tmp_path / "dst")
+    n = sample_dataset(src, dst, p=0.5, seed=0)
+    assert 5 <= n <= 25  # ~15 expected
+    add_count = add_reference(src, dst)
+    assert add_count == 3
+    assert os.path.exists(os.path.join(dst, "class_00", "0.jpg"))
+    assert del_reference(dst) == 3
+
+
+def test_crawler_url_criteria():
+    from crawler.pixiv_crawl import is_master_thumbnail, thumbnail_to_image_id
+
+    good = ("https://i.pximg.net/c/250x250_80_a2/img-master/img/2024/01/02/"
+            "00/00/00/12345678_p0_square1200.jpg")
+    assert is_master_thumbnail(good)
+    assert thumbnail_to_image_id(good) == "12345678"
+    assert not is_master_thumbnail("https://example.com/img-master/1_p0_master.jpg")
+    assert not is_master_thumbnail("https://i.pximg.net/img-original/1_p1.jpg")
+
+
+def test_crawler_keyword_filter(tmp_path):
+    from crawler.pixiv_crawl import load_keywords
+
+    csv_path = tmp_path / "kw.csv"
+    csv_path.write_text("name,keyword,cnt\nreimu,霊夢,116982\nnobody,x,50\n",
+                        encoding="utf-8")
+    kws = load_keywords(str(csv_path), popularity=2000)
+    assert kws == [("reimu", "霊夢")]
+
+
+def test_crawler_scheduler_and_seen(tmp_path):
+    import random
+
+    from crawler.pixiv_crawl import SeenUrls, sleep_scheduler
+
+    sched = sleep_scheduler(freq=1.0, long_pause_every=5, long_pause=30.0,
+                            rng=random.Random(0))
+    sleeps = [next(sched) for _ in range(10)]
+    assert all(s > 0 for s in sleeps)
+    assert max(sleeps) >= 30.0        # the periodic long pause fires
+    assert min(sleeps) < 3.0
+
+    seen = SeenUrls(str(tmp_path / "seen.txt"))
+    seen.add("u1")
+    assert "u1" in seen
+    reloaded = SeenUrls(str(tmp_path / "seen.txt"))
+    assert "u1" in reloaded and "u2" not in reloaded
+
+
+def test_name_processing():
+    from crawler.th_name_process import find_count, find_related_tag, process_name
+
+    names = list(process_name("霧雨　魔理沙"))
+    assert "霧雨　魔理沙" in names and "霧雨魔理沙" in names and "魔理沙" in names
+    assert find_count("東方Projectのイラストは116,982件あります") == 116982
+    assert find_count("no count here") == -1
+    assert find_related_tag("related to 东方Project art", "东方Project")
+    # slash variants yield both sides (reference bug fixed)
+    both = list(process_name("A/B"))
+    assert "A" in both and "B" in both
+
+
+def test_review_state(tmp_path):
+    from crawler.pixiv_review import ReviewState
+
+    data = make_image_folder(str(tmp_path / "rv"), num_classes=2, per_class=3, size=8)
+    # add reference images
+    for label in os.listdir(data):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            os.path.join(data, label, "0.jpg"))
+    progress = str(tmp_path / "progress.json")
+    st = ReviewState(data, progress)
+    total = st.progress()[1]
+    assert total == 4  # per-class files 1.jpg, 2.jpg (0.jpg = reference, excluded)
+    cur = st.current()
+    assert cur is not None
+    st.keep()
+    st.reject()
+    invalids = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".invalid")]
+    assert len(invalids) == 1
+    st.undo()
+    invalids = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".invalid")]
+    assert len(invalids) == 0
+
+    # progress persists
+    st.keep(); st.keep()
+    st2 = ReviewState(data, progress)
+    assert st2.pos == st.pos
+
+
+def test_aug_visualizer(tmp_path):
+    from touhouimageclassification_tpu.analysis.aug import visualize
+
+    img = tmp_path / "x.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    ).save(img)
+    out = visualize(str(img), str(tmp_path / "grid"), out_size=(32, 32))
+    assert len(out) == 4
+    for p in out:
+        assert os.path.exists(p)
+        with Image.open(p) as im:
+            assert im.size[0] >= 32

@@ -1,0 +1,71 @@
+"""Native JPEG decode+resize: parity with the PIL path and batch API."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from touhouimageclassification_tpu.data import native_loader
+from touhouimageclassification_tpu.data.loader import HostImageLoader, decode_image
+from touhouimageclassification_tpu.data.folder import scan_image_folder
+
+from fixtures import make_image_folder
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native toolchain/libjpeg unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def jpgs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("njpg")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, size in enumerate([(64, 64), (128, 96), (33, 47)]):
+        arr = rng.integers(0, 256, (*size, 3)).astype(np.uint8)
+        p = str(root / f"{i}.jpg")
+        Image.fromarray(arr).save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+def test_decode_file_close_to_pil(jpgs):
+    for p in jpgs:
+        ours = native_loader.decode_file(p, (48, 48)).astype(np.int16)
+        pil = decode_image(p, (48, 48)).astype(np.int16)
+        # different resample kernels; content must agree closely on average
+        mad = np.abs(ours - pil).mean()
+        assert mad < 14.0, f"{p}: mean abs diff {mad}"
+
+
+def test_decode_batch(jpgs):
+    out, failures = native_loader.decode_batch(jpgs, (32, 32))
+    assert failures == 0
+    assert out.shape == (3, 32, 32, 3)
+    assert out.dtype == np.uint8
+    assert all(out[i].any() for i in range(3))
+
+
+def test_decode_batch_failure_slot(tmp_path, jpgs):
+    bad = str(tmp_path / "missing.jpg")
+    out, failures = native_loader.decode_batch([jpgs[0], bad], (16, 16))
+    assert failures == 1
+    assert out[0].any() and not out[1].any()
+
+
+def test_host_loader_native_backend(tmp_path):
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=4, size=40)
+    index = scan_image_folder(root)
+    loader = HostImageLoader(index, batch_size=4, canvas=(32, 32), shuffle=False,
+                             drop_last=False, decode_backend="native")
+    assert loader._native is not None
+    batches = list(loader)
+    assert batches[0]["image"].shape == (4, 32, 32, 3)
+    assert batches[0]["image"].any()
+    # parity with the PIL backend on the same files
+    pil_loader = HostImageLoader(index, batch_size=4, canvas=(32, 32), shuffle=False,
+                                 drop_last=False, decode_backend="pil")
+    pil_batches = list(pil_loader)
+    mad = np.abs(batches[0]["image"].astype(np.int16)
+                 - pil_batches[0]["image"].astype(np.int16)).mean()
+    assert mad < 14.0

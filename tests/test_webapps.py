@@ -1,0 +1,196 @@
+"""WSGI-level tests for the web demo and the reviewer state machine."""
+import io
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def _wsgi_call(app, method="GET", path="/", body=b"", content_type="", cookie=""):
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(len(body)),
+        "CONTENT_TYPE": content_type,
+        "HTTP_COOKIE": cookie,
+        "wsgi.input": io.BytesIO(body),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = headers
+
+    out = b"".join(app(environ, start_response))
+    return captured["status"], dict_multi(captured["headers"]), out
+
+
+def dict_multi(headers):
+    d = {}
+    for k, v in headers:
+        d.setdefault(k, []).append(v)
+    return d
+
+
+def _multipart(fields: dict, files: list) -> tuple[bytes, str]:
+    boundary = "testboundary123"
+    lines = []
+    for k, v in fields.items():
+        lines += [f"--{boundary}",
+                  f'Content-Disposition: form-data; name="{k}"', "", v]
+    out = ["\r\n".join(lines).encode()] if lines else []
+    for name, filename, data in files:
+        head = (f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="{name}"; filename="{filename}"\r\n'
+                f"Content-Type: application/octet-stream\r\n\r\n").encode()
+        out.append(head + data)
+    body = b"\r\n".join(out) + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+# ---------------------------------------------------------------------------
+# web demo
+# ---------------------------------------------------------------------------
+
+def test_web_demo_get_and_post(monkeypatch, tmp_path):
+    from web import app as web_app
+    from web import runtime as web_runtime
+
+    status, _h, out = _wsgi_call(web_app.app)
+    assert status == "200 OK"
+    assert b"Model daemon" in out and b"Inactive" in out
+
+    # stub serve_batch so the page logic is tested without loading a model
+    monkeypatch.setattr(web_app, "serve_batch",
+                        lambda imgs, target_lang: ([("reimu", 0.93)] * len(imgs), True))
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, format="JPEG")
+    body, ctype = _multipart({"lang": "EN", "urls": ""},
+                             [("files[]", "x.jpg", buf.getvalue())])
+    status, _h, out = _wsgi_call(web_app.app, "POST", "/", body, ctype)
+    assert status == "200 OK"
+    assert b"reimu" in out and b"93.0%" in out
+    assert b"Classification complete for 1 image(s)!" in out
+
+
+def test_web_demo_no_input_flash():
+    from web import app as web_app
+
+    body, ctype = _multipart({"urls": ""}, [])
+    status, _h, out = _wsgi_call(web_app.app, "POST", "/", body, ctype)
+    assert b"No valid files or URLs were provided." in out
+
+
+def test_lang_remap(tmp_path, monkeypatch):
+    from web import runtime as web_runtime
+
+    monkeypatch.setattr(web_runtime, "label_lang_map", {})
+    web_runtime.prepare_label_lang_map()
+    assert web_runtime.remap_label_lang("博丽灵梦", "EN") == "Hakurei Reimu"
+    assert web_runtime.remap_label_lang("博丽灵梦", "JP") == "博麗　霊夢"
+    # unknown label passes through
+    assert web_runtime.remap_label_lang("nobody", "EN") == "nobody"
+
+
+# ---------------------------------------------------------------------------
+# reviewer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def reviewer_env(tmp_path, monkeypatch):
+    import reviewer.app as rapp
+    from PIL import Image
+
+    data = tmp_path / "rdata"
+    for label in ("alice", "reimu"):
+        d = data / label
+        d.mkdir(parents=True)
+        Image.fromarray(np.full((8, 8, 3), 128, np.uint8)).save(d / "0.jpg")
+        for i in (1, 2):
+            Image.fromarray(np.full((8, 8, 3), 64, np.uint8)).save(d / f"{i}.jpg")
+    monkeypatch.setattr(rapp, "DATA_DIR", str(data))
+    monkeypatch.setattr(rapp, "_sessions", {})
+    import reviewer.init_images as rinit
+
+    n = rinit.initialize_pending(str(data))
+    assert n == 4  # 0.jpg excluded
+    return rapp, str(data)
+
+
+def _cookie_of(headers):
+    for line in headers.get("Set-Cookie", []):
+        if line.startswith("session_uid="):
+            return line.split(";")[0]
+    return ""
+
+
+def test_reviewer_claim_approve_reject_undo(reviewer_env):
+    rapp, data = reviewer_env
+
+    status, headers, out = _wsgi_call(rapp.app)
+    assert status == "200 OK"
+    cookie = _cookie_of(headers)
+    assert b"Approve" in out
+    # one file claimed -> .processing
+    procs = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".processing")]
+    assert len(procs) == 1
+
+    # approve it
+    body, ctype = _multipart({"action": "approve"}, [])
+    _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    jpgs = [f for _, _, fs in os.walk(data)
+            for f in fs if f.endswith(".jpg") and f != "0.jpg"]
+    assert len(jpgs) == 1
+
+    # reject the next
+    body, ctype = _multipart({"action": "reject"}, [])
+    _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    invalids = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".invalid")]
+    assert len(invalids) == 1
+
+    # undo brings the rejected one back to processing
+    body, ctype = _multipart({"action": "back"}, [])
+    _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    invalids = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".invalid")]
+    assert len(invalids) == 0
+
+
+def test_reviewer_drains_to_done(reviewer_env):
+    rapp, data = reviewer_env
+    cookie = ""
+    for _ in range(10):
+        _s, headers, out = _wsgi_call(rapp.app, cookie=cookie)
+        cookie = _cookie_of(headers) or cookie
+        if "所有图片审查完成".encode() in out:
+            break
+        body, ctype = _multipart({"action": "approve"}, [])
+        _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    pendings = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".pending")]
+    assert not pendings
+
+
+def test_reviewer_atomic_claim_two_sessions(reviewer_env):
+    """Two sessions never claim the same image (atomic rename)."""
+    rapp, data = reviewer_env
+    _s, h1, _o = _wsgi_call(rapp.app)
+    _s, h2, _o = _wsgi_call(rapp.app, cookie="")
+    procs = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".processing")]
+    uids = {f.split(".")[1] for f in procs}
+    assert len(procs) == 2 and len(uids) == 2
+
+
+def test_reviewer_image_route(reviewer_env):
+    rapp, data = reviewer_env
+    status, _h, out = _wsgi_call(rapp.app, path="/img/alice/0.jpg")
+    assert status == "200 OK"
+    assert out[:3] == b"\xff\xd8\xff"  # JPEG magic
+    status, _h, _o = _wsgi_call(rapp.app, path="/img/alice/../../etc/passwd")
+    assert status == "404 Not Found"

@@ -61,6 +61,7 @@ class HostImageLoader:
         num_threads: int | None = None,
         prefetch_batches: int = 2,
         loop: bool = False,
+        decode_backend: str = "auto",
     ):
         self.index = index
         self.subset = subset if subset is not None else np.arange(len(index))
@@ -73,6 +74,14 @@ class HostImageLoader:
         self.prefetch_batches = prefetch_batches
         self.loop = loop
         self._epoch = 0
+        self._native = None
+        if decode_backend in ("auto", "native"):
+            from . import native_loader
+
+            if native_loader.available():
+                self._native = native_loader
+            elif decode_backend == "native":
+                raise RuntimeError("native decode backend requested but unavailable")
 
     def __len__(self) -> int:
         n = len(self.subset)
@@ -92,13 +101,25 @@ class HostImageLoader:
 
     def _make_batch(self, ids: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         paths = [self.index.paths[i] for i in ids]
-        imgs = list(pool.map(lambda p: decode_image(p, self.canvas), paths))
         n = len(ids)
         b = self.batch_size
         image = np.zeros((b, *self.canvas, 3), np.uint8)
         label = np.zeros((b,), np.int32)
         mask = np.zeros((b,), bool)
-        image[:n] = np.stack(imgs)
+        jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        if self._native is not None and jpeg_only:
+            # one C call decodes the whole batch in a native thread pool
+            _, failures = self._native.decode_batch(
+                paths, self.canvas, out=image[:n], nthreads=self.num_threads
+            )
+            if failures:
+                # fall back per-file for the zeroed slots
+                for j, p in enumerate(paths):
+                    if not image[j].any():
+                        image[j] = decode_image(p, self.canvas)
+        else:
+            imgs = list(pool.map(lambda p: decode_image(p, self.canvas), paths))
+            image[:n] = np.stack(imgs)
         label[:n] = self.index.labels[ids]
         mask[:n] = True
         return {"image": image, "label": label, "mask": mask}

@@ -1,0 +1,115 @@
+"""ctypes binding for the native JPEG decode+resize library (native/).
+
+Builds ``libticjpeg.so`` with g++ on first use (cached) and exposes:
+- :func:`decode_file` — one JPEG -> (h, w, 3) uint8 canvas,
+- :func:`decode_batch` — n files -> (n, h, w, 3) uint8 in a C thread pool
+  (bypasses the GIL entirely — the whole batch is one C call).
+
+Falls back cleanly: :func:`available` gates usage and the HostImageLoader
+keeps its PIL path when the toolchain or libjpeg is missing.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libticjpeg.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "ticjpeg.cpp")
+    if not os.path.exists(src):
+        return False
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+           "-o", _LIB_PATH, src, "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        print(f"native loader build failed ({e}); falling back to PIL")
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(os.path.join(_NATIVE_DIR, "ticjpeg.cpp"))
+            and os.path.getmtime(_LIB_PATH)
+            < os.path.getmtime(os.path.join(_NATIVE_DIR, "ticjpeg.cpp"))
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            print(f"native loader unavailable: {e}")
+            _build_failed = True
+            return None
+        lib.tic_decode_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.tic_decode_file.restype = ctypes.c_int
+        lib.tic_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.tic_decode_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_file(path: str, canvas: tuple[int, int]):
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    out = np.empty((canvas[0], canvas[1], 3), np.uint8)
+    rc = lib.tic_decode_file(
+        path.encode(), canvas[0], canvas[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"native decode failed (rc={rc}) for {path}")
+    return out
+
+
+def decode_batch(paths: list[str], canvas: tuple[int, int], out=None,
+                 nthreads: int | None = None):
+    """Returns ((n, h, w, 3) uint8 array, failure_count). Failed slots are
+    zeroed (same contract as the PIL path raising per-file — callers that
+    need hard failures check the count)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, canvas[0], canvas[1], 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.tic_decode_batch(
+        arr, n, canvas[0], canvas[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nthreads or min(16, os.cpu_count() or 8),
+    )
+    return out, failures
