@@ -1,0 +1,95 @@
+"""Mesh/sharding: DP gradient math and expert-parallel sharding of MoE."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from touhouimageclassification_tpu.config import (
+    AugmentConfig, CheckpointConfig, MixConfig, MoEConfig, OptimizerConfig,
+    MeshConfig, TrainConfig, ViTConfig,
+)
+from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+from touhouimageclassification_tpu.models.vit import ViT
+from touhouimageclassification_tpu.parallel.mesh import create_mesh, data_sharding
+from touhouimageclassification_tpu.parallel.sharding import state_shardings
+from touhouimageclassification_tpu.train.tasks import MoETask
+from touhouimageclassification_tpu.train.trainer import Trainer
+
+TINY_VIT = ViTConfig(image_size=16, patch_size=8, hidden_size=16, num_layers=1,
+                     num_heads=2, mlp_dim=32, num_classes=4)
+
+
+def _cfg(tmp_path, **over):
+    defaults = dict(
+        train_id="par_run", model_type="vit-base", global_batch_size=8,
+        max_epochs=1, seed=0,
+        optimizer=OptimizerConfig(name="sgd", learning_rate=1e-2),
+        augment=AugmentConfig(enable_augmentation=False),
+        mix=MixConfig(enable_mixup=False),
+        checkpoint=CheckpointConfig(directory=str(tmp_path / "c"), async_save=False),
+        log_dir=str(tmp_path / "l"),
+    )
+    defaults.update(over)
+    return TrainConfig(**defaults)
+
+
+def _batch(b):
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.integers(0, 256, (b, 16, 16, 3)).astype(np.uint8),
+        "label": (np.arange(b) % 4).astype(np.int32),
+        "mask": np.ones((b,), bool),
+    }
+
+
+def test_dp_step_matches_single_device(tmp_path):
+    """The same step on an 8-way data mesh and a 1-device mesh must produce
+    identical params (DP is math-preserving)."""
+    results = []
+    for n in (1, 8):
+        mesh = create_mesh(num_data=n, devices=jax.devices()[:n])
+        cfg = _cfg(tmp_path)
+        # f32 compute so the only difference is the gradient reduction
+        # (bf16 would add benign reduction-order noise)
+        tr = Trainer(cfg, model=ViT(TINY_VIT, compute_dtype="float32"), mesh=mesh)
+        state = tr.init_state(4)
+        step = tr._make_train_step()
+        db = jax.device_put(_batch(8), data_sharding(mesh))
+        new_state, metrics = step(state, db)
+        results.append((jax.device_get(new_state.params), float(metrics["loss"])))
+    p1, l1 = results[0]
+    p8, l8 = results[1]
+    assert abs(l1 - l8) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_expert_parallel_sharding(tmp_path):
+    """(data=2, expert=4) mesh: expert stacks sharded on 'expert', the rest
+    replicated; a sparse-MoE train step runs and keeps shardings."""
+    mesh = create_mesh(num_data=2, num_expert=4)
+    moe_cfg = MoEConfig(num_experts=4, top_k=2, num_classes=4, routing="sparse",
+                        capacity_factor=4.0, expert_vit=TINY_VIT)
+    cfg = _cfg(tmp_path, model_type="vit-moe",
+               mesh=MeshConfig(num_expert_shards=4))
+    tr = Trainer(cfg, model=MoEClassifier(moe_cfg), task=MoETask(moe_cfg), mesh=mesh)
+    state = tr.init_state(4)
+
+    # verify the sharding rule: expert leaves partitioned, gate replicated
+    shardings = state_shardings(state, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings.params)[0]
+    expert_specs = [s.spec for path, s in flat if "experts" in str(path)]
+    gate_specs = [s.spec for path, s in flat if "gate" in str(path)]
+    assert expert_specs and all(spec != jax.sharding.PartitionSpec() for spec in expert_specs)
+    assert gate_specs and all(spec == jax.sharding.PartitionSpec() for spec in gate_specs)
+
+    step = tr._make_train_step()
+    db = jax.device_put(_batch(8), data_sharding(mesh))
+    new_state, metrics = step(state, db)
+    assert np.isfinite(float(metrics["loss"]))
+    # expert params remain expert-sharded after the update
+    leaf = jax.tree_util.tree_leaves(
+        new_state.params["experts"]
+    )[0]
+    assert "expert" in str(leaf.sharding.spec)

@@ -276,6 +276,10 @@ class TrainConfig:
     early_stop_monitor: str = "val_acc"
     early_stop_mode: str = "max"
     log_dir: str = LOG_DIR
+    # jax.profiler trace dir for the first profiled epoch; '' = off (the
+    # reference's disabled-by-default profiler knob, TIC/ResMoE/parameter.py:14)
+    profile_dir: str = ""
+    profile_steps: int = 8              # steps traced when profiling is on
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ from ..models import apply_model, create_model
 from ..ops.augment import build_augment_fn, build_eval_fn
 from ..ops.mixup import cutmix_or_mixup
 from ..parallel.mesh import create_mesh, data_sharding, replicated
+from ..parallel.sharding import shard_state
 from ..utils.jaxcache import enable_compile_cache
 from ..utils.logging import get_logger
 from . import losses
@@ -159,7 +160,9 @@ class Trainer:
             opt_state=tx.init(params),
             model_state=model_state,
         )
-        return jax.device_put(state, self._replicated)
+        # replicated under pure DP; expert stacks sharded over the mesh's
+        # expert axis when one exists (EP)
+        return shard_state(state, self.mesh, self.cfg.mesh.expert_axis)
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -268,7 +271,9 @@ class Trainer:
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
         start_epoch = 0
         if resume and ckpt.latest_epoch() is not None:
-            self.state = jax.device_put(ckpt.restore(self.state), self._replicated)
+            self.state = shard_state(
+                ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
+            )
             start_epoch = int(ckpt.latest_epoch())
             self.logger.info("Resumed from epoch %d", start_epoch)
 
@@ -278,6 +283,7 @@ class Trainer:
         since_best = 0
         sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
 
+        profiled = False
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             running, nsteps = 0.0, 0
@@ -285,6 +291,18 @@ class Trainer:
             for i, batch in enumerate(it):
                 if cfg.limit_train_batches and i >= cfg.limit_train_batches:
                     break
+                if cfg.profile_dir and not profiled and i == 1:
+                    # trace a few steady-state steps once per run
+                    from ..utils.profiling import trace
+
+                    with trace(cfg.profile_dir):
+                        for _ in range(cfg.profile_steps):
+                            self.state, metrics = train_step(self.state, batch)
+                            jax.block_until_ready(metrics["loss"])
+                            running += float(metrics["loss"])
+                            nsteps += 1
+                    profiled = True
+                    continue
                 self.state, metrics = train_step(self.state, batch)
                 running += float(metrics["loss"])
                 nsteps += 1
