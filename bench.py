@@ -21,7 +21,7 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 67.0  # RTX 3080 reference point (BASELINE.md)
 
 
-def bench_train(batch: int, steps: int, warmup: int = 3) -> float:
+def bench_train(batch: int, steps: int, warmup: int = 3, remat: bool = False) -> float:
     import jax
 
     from touhouimageclassification_tpu.config import (
@@ -46,7 +46,9 @@ def bench_train(batch: int, steps: int, warmup: int = 3) -> float:
         checkpoint=CheckpointConfig(async_save=False),
         log_dir="/tmp/tic_bench_log",
     )
-    model = ViT(dataclasses.replace(VIT_LARGE, remat=True))
+    # sweep result (tools/bench_sweep.py): batch 128 fits without remat on a
+    # 16 GB v5e and runs ~20% faster than the rematerialized step
+    model = ViT(dataclasses.replace(VIT_LARGE, remat=remat))
     trainer = Trainer(cfg, model=model, mesh=mesh)
     state = trainer.init_state(steps_per_epoch=100)
     step_fn = trainer._make_train_step()
@@ -100,11 +102,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder layers (for batches >192)")
     parser.add_argument("--serve", action="store_true",
                         help="also measure p50 serve latency (extra output line)")
     args = parser.parse_args()
 
-    img_s = bench_train(args.batch, args.steps)
+    img_s = bench_train(args.batch, args.steps, remat=args.remat)
     print(json.dumps({
         "metric": "vit_large_finetune_images_per_sec_per_chip",
         "value": round(img_s, 2),

@@ -49,7 +49,8 @@ model_checkpoints: dict[str, str] = {
     "resmoe": "checkpoint/serving/resmoe",
 }
 
-_SERVE_TYPE_ALIASES = {"resnet": "resnet152", "nvit": "vit-large", "resmoe": "vit-moe"}
+_SERVE_TYPE_ALIASES = {"resnet": "resnet152", "nvit": "vit-large",
+                       "resmoe": "vit-moe", "treevit": "tree-vit"}
 
 BUCKETS = (1, 8, 64)
 
