@@ -1,51 +1,69 @@
-"""Calibrate chip peak + isolate fwd/bwd cost of the ViT-L step."""
-import dataclasses, json, os, sys, time
+"""Chip calibration. Axon-relay rule: identical (executable, inputs) pairs
+are memoized server-side — time warm calls with FRESH inputs only."""
+import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np
+
+def timed(f, make_args, iters=3):
+    f(*make_args(0))  # warm compile
+    ts = []
+    for i in range(1, iters + 1):
+        args = make_args(i)
+        import jax
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 def main():
     import jax, jax.numpy as jnp
     from touhouimageclassification_tpu.config import VIT_LARGE
     from touhouimageclassification_tpu.models.vit import ViT
 
-    # 1) raw MXU peak: bf16 (8192² @ 8192²) matmul
     n = 8192
-    a = jnp.ones((n, n), jnp.bfloat16)
-    b = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a, b: a @ b)
-    f(a, b).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = f(a, b)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / 10
+    STEPS = 20
+
+    @jax.jit
+    def chain_mm(a, b):
+        def body(_, x):
+            return jnp.tanh(x @ b)
+        return jax.lax.fori_loop(0, STEPS, body, a)
+
+    def mm_args(i):
+        a = jax.random.normal(jax.random.key(i), (n, n)).astype(jnp.bfloat16)
+        b = jax.random.normal(jax.random.key(100 + i), (n, n)).astype(jnp.bfloat16) * 0.01
+        return a, b
+    dt = timed(chain_mm, mm_args) / STEPS
     print(json.dumps({"raw_matmul_tflops": round(2 * n**3 / dt / 1e12, 1)}), flush=True)
 
-    # 2) ViT-L forward only, batch 128
     model = ViT(VIT_LARGE)
-    x = jnp.ones((128, 224, 224, 3), jnp.float32)
-    params = model.init(jax.random.key(0), x)
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
-    fwd(params, x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(10):
-        o = fwd(params, x)
-    o.block_until_ready()
-    dt = (time.perf_counter() - t0) / 10
+    params = model.init(jax.random.key(0), jnp.ones((128, 224, 224, 3)))
+
+    F_STEPS = 8
+    @jax.jit
+    def chain_fwd(p, x):
+        def body(_, x):
+            o = model.apply(p, x)
+            return x + jnp.mean(o) * 1e-20
+        return jax.lax.fori_loop(0, F_STEPS, body, x)
+
+    def fwd_args(i):
+        return params, jax.random.normal(jax.random.key(i), (128, 224, 224, 3))
+    dt = timed(chain_fwd, fwd_args) / F_STEPS
     print(json.dumps({"fwd_img_s": round(128 / dt, 1),
                       "fwd_mfu_pct": round(128 * 61.6e9 / dt / 197e12 * 100, 1)}), flush=True)
 
-    # 3) fwd+bwd only (no optimizer, no augment)
-    def loss_fn(p, x):
-        return jnp.mean(model.apply(p, x) ** 2)
-    g = jax.jit(jax.grad(loss_fn))
-    g(params, x)
-    jax.block_until_ready(jax.tree_util.tree_leaves(g(params, x))[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        grads = g(params, x)
-    jax.block_until_ready(jax.tree_util.tree_leaves(grads)[0])
-    dt = (time.perf_counter() - t0) / 5
+    B_STEPS = 4
+    @jax.jit
+    def chain_bwd(p, x):
+        def loss_fn(p, x):
+            return jnp.mean(model.apply(p, x) ** 2)
+        def body(_, x):
+            g = jax.grad(loss_fn)(p, x)
+            return x + jnp.mean(jax.tree_util.tree_leaves(g)[0]) * 1e-20
+        return jax.lax.fori_loop(0, B_STEPS, body, x)
+    dt = timed(chain_bwd, fwd_args) / B_STEPS
     print(json.dumps({"fwdbwd_img_s": round(128 / dt, 1),
                       "fwdbwd_mfu_pct": round(128 * 3 * 61.6e9 / dt / 197e12 * 100, 1)}), flush=True)
 

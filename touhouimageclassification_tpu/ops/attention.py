@@ -31,21 +31,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    q = q_ref[0]            # (N_pad, D)
+    """All heads of one image per grid step: q/k/v refs are (1, H, N_pad, D).
+    The head axis rides the MXU's batched matmul; fewer grid iterations than
+    a per-(batch, head) grid (128 vs 2048 for ViT-L at batch 128)."""
+    q = q_ref[0]            # (H, N_pad, D)
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale               # (N_pad, N_pad) in f32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale               # (H, N_pad, N_pad) in f32
     n_pad = s.shape[-1]
     if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    )                        # (H, N_pad, D)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -56,25 +59,24 @@ def _flash_forward(q, k, v):
     n_pad = max(_round_up(n, 128), 128)
 
     def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, d)
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        x = jnp.transpose(x, (0, 2, 1, 3))                 # (B, H, N, D)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
     qf, kf, vf = prep(q), prep(k), prep(v)
 
     kernel = functools.partial(_attention_kernel, n_valid=n, scale=scale)
     spec = pl.BlockSpec(
-        (1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu_compat.VMEM
+        (1, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu_compat.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
         interpret=pltpu_compat.should_interpret(),
     )(qf, kf, vf)
-    out = out[:, :n, :].reshape(b, h, n, d)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out[:, :, :n, :], (0, 2, 1, 3))
 
 
 def _reference_attention(q, k, v):

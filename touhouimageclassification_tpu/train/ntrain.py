@@ -26,10 +26,22 @@ def main(argv=None, preset: str = "nvit"):
                         help="scratch init instead of pretrained backbone")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers (larger batches)")
+    parser.add_argument("--freeze-backbone", action="store_true",
+                        help="train the classifier head only "
+                             "(full_finetune=False, ntrain.py:34-36)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny ViT dims (CI/CPU smoke runs)")
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(PRESETS[args.preset], args)
+    if args.freeze_backbone:
+        cfg = dataclasses.replace(cfg, full_finetune=False)
     vcfg = vit_config(cfg.model_type)
+    if args.tiny:
+        vcfg = dataclasses.replace(
+            vcfg, image_size=32, patch_size=16, hidden_size=32, num_layers=1,
+            num_heads=2, mlp_dim=64,
+        )
     if args.remat:
         vcfg = dataclasses.replace(vcfg, remat=True)
     model = ViT(vcfg)

@@ -27,14 +27,22 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=2)
     parser.add_argument("--expert-shards", type=int, default=1,
                         help="shard experts over this many devices (EP)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny ViT dims (CI/CPU smoke runs)")
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(PRESETS["resmoe"], args)
     cfg = dataclasses.replace(
         cfg, mesh=MeshConfig(num_expert_shards=args.expert_shards)
     )
+    tiny_vit = None
+    if args.tiny:
+        from ..config import ViTConfig
+
+        tiny_vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                             num_layers=1, num_heads=2, mlp_dim=64)
     moe_cfg = MoEConfig(num_experts=args.num_experts, top_k=args.top_k,
-                        routing=args.routing)
+                        routing=args.routing, expert_vit=tiny_vit)
     model = MoEClassifier(moe_cfg)
     run(cfg, args, model=model, task=MoETask(moe_cfg))
 

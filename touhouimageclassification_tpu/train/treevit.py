@@ -76,6 +76,8 @@ def main(argv=None):
     parser.add_argument("--map-file", type=str, default=None)
     parser.add_argument("--num-categories", type=int, default=8)
     parser.add_argument("--top-k", type=int, default=2)
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny ViT dims (CI/CPU smoke runs)")
     args = parser.parse_args(argv)
 
     base_cfg = apply_overrides(PRESETS["treevit"], args)
@@ -89,10 +91,17 @@ def main(argv=None):
     class_to_category = make_class_to_category(map_dict, index.class_to_idx)
     num_categories = int(class_to_category.max()) + 1
 
+    tiny_vit = None
+    if args.tiny:
+        from ..config import ViTConfig
+
+        tiny_vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                             num_layers=1, num_heads=2, mlp_dim=64)
     tree_cfg = TreeViTConfig(
         num_categories=num_categories,
         num_classes=len(index.classes),
         top_k=args.top_k,
+        vit=tiny_vit,
     )
     model = TreeViT(tree_cfg)
 
