@@ -21,7 +21,8 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 67.0  # RTX 3080 reference point (BASELINE.md)
 
 
-def bench_train(batch: int, steps: int, warmup: int = 3, remat: bool = False) -> float:
+def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
+                scan: int = 8) -> float:
     import jax
 
     from touhouimageclassification_tpu.config import (
@@ -29,6 +30,8 @@ def bench_train(batch: int, steps: int, warmup: int = 3, remat: bool = False) ->
         VIT_LARGE,
     )
     import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from touhouimageclassification_tpu.models.vit import ViT
     from touhouimageclassification_tpu.parallel.mesh import create_mesh, data_sharding
@@ -45,32 +48,49 @@ def bench_train(batch: int, steps: int, warmup: int = 3, remat: bool = False) ->
         mix=MixConfig(enable_mixup=True),
         checkpoint=CheckpointConfig(async_save=False),
         log_dir="/tmp/tic_bench_log",
+        steps_per_call=scan,
     )
     # sweep result (tools/bench_sweep.py): batch 128 fits without remat on a
     # 16 GB v5e and runs ~20% faster than the rematerialized step
     model = ViT(dataclasses.replace(VIT_LARGE, remat=remat))
     trainer = Trainer(cfg, model=model, mesh=mesh)
     state = trainer.init_state(steps_per_epoch=100)
-    step_fn = trainer._make_train_step()
 
     rng = np.random.default_rng(0)
-    batch_np = {
-        "image": rng.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8),
-        "label": (np.arange(batch) % 120).astype(np.int32),
-        "mask": np.ones((batch,), bool),
-    }
-    dbatch = jax.device_put(batch_np, data_sharding(mesh))
+    def batch_np(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "image": r.integers(0, 256, (batch, 256, 256, 3)).astype(np.uint8),
+            "label": (np.arange(batch) % 120).astype(np.int32),
+            "mask": np.ones((batch,), bool),
+        }
 
+    if scan > 1:
+        # k fused optimizer steps per call (TrainConfig.steps_per_call — the
+        # trainer's production fast path)
+        step_fn = trainer._make_train_scan(scan)
+        stacked = {
+            key: np.stack([batch_np(s)[key] for s in range(scan)])
+            for key in ("image", "label", "mask")
+        }
+        dbatch = jax.device_put(stacked, NamedSharding(mesh, P(None, "data")))
+        per_call = scan
+    else:
+        step_fn = trainer._make_train_step()
+        dbatch = jax.device_put(batch_np(0), data_sharding(mesh))
+        per_call = 1
+
+    calls = max(1, steps // per_call)
     for _ in range(warmup):
         state, metrics = step_fn(state, dbatch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # host fetch: the only reliable sync on the relay
 
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(calls):
         state, metrics = step_fn(state, dbatch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return batch * steps / dt / n_dev
+    return batch * calls * per_call / dt / n_dev
 
 
 def bench_serve_latency(trials: int = 50):
@@ -101,14 +121,17 @@ def bench_serve_latency(trials: int = 50):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=24)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder layers (for batches >192)")
+    parser.add_argument("--scan", type=int, default=8,
+                        help="optimizer steps fused per jitted call "
+                             "(steps_per_call); 1 = one call per step")
     parser.add_argument("--serve", action="store_true",
                         help="also measure p50 serve latency (extra output line)")
     args = parser.parse_args()
 
-    img_s = bench_train(args.batch, args.steps, remat=args.remat)
+    img_s = bench_train(args.batch, args.steps, remat=args.remat, scan=args.scan)
     print(json.dumps({
         "metric": "vit_large_finetune_images_per_sec_per_chip",
         "value": round(img_s, 2),

@@ -1,18 +1,25 @@
-"""Chip calibration. Axon-relay rule: identical (executable, inputs) pairs
-are memoized server-side — time warm calls with FRESH inputs only."""
+"""Chip calibration. Axon-relay rules: (1) time warm calls with FRESH
+inputs; (2) synchronize by host-fetching a scalar — block_until_ready
+returns early on this backend."""
 import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _fetch(out):
+    """Host-fetch a scalar: on the axon relay only a real device->host read
+    synchronizes (block_until_ready returns early)."""
+    import jax.numpy as jnp, numpy as np
+    leaf = out if not isinstance(out, (tuple, list)) else out[0]
+    return float(np.asarray(jnp.mean(leaf)))
+
 def timed(f, make_args, iters=3):
-    f(*make_args(0))  # warm compile
+    _fetch(f(*make_args(0)))  # warm compile
     ts = []
     for i in range(1, iters + 1):
         args = make_args(i)
-        import jax
-        jax.block_until_ready(args)
+        for a in args:
+            _fetch(a) if hasattr(a, "shape") else None
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
+        _fetch(f(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

@@ -270,6 +270,10 @@ class TrainConfig:
     # bf16 compute / f32 params is TPU-native; mirrors 'bf16-mixed'
     # (ntrain.py:241) without GradScaler
     compute_dtype: str = "bfloat16"
+    # >1 fuses k optimizer steps into one jitted lax.scan call (k prefetched
+    # batches stacked on a leading axis): amortizes per-call dispatch
+    # overhead; metrics are averaged over the k steps
+    steps_per_call: int = 1
     # NaN guard: skip non-finite updates (finetune.py:181-188 analogue)
     nan_guard: bool = True
     early_stop_patience: int = 3        # EarlyStopping(patience=3), ntrain.py:237-238

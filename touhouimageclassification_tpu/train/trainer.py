@@ -168,7 +168,7 @@ class Trainer:
     # jitted steps
     # ------------------------------------------------------------------
 
-    def _make_train_step(self) -> Callable:
+    def _train_step_body(self) -> Callable:
         cfg = self.cfg
         model, task, tx = self.model, self.task, self.tx
         augment_fn = self.augment_fn
@@ -212,7 +212,21 @@ class Trainer:
             metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
             return new_state, metrics
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def _make_train_step(self) -> Callable:
+        return jax.jit(self._train_step_body(), donate_argnums=(0,))
+
+    def _make_train_scan(self, k: int) -> Callable:
+        """k fused optimizer steps per call: batches stacked on a leading
+        axis, scanned inside one jitted program (amortizes dispatch)."""
+        body = self._train_step_body()
+
+        def scan_fn(state: TrainState, batches):
+            state, ms = jax.lax.scan(body, state, batches)
+            return state, jax.tree_util.tree_map(jnp.mean, ms)
+
+        return jax.jit(scan_fn, donate_argnums=(0,))
 
     def _make_eval_step(self) -> Callable:
         model, task = self.model, self.task
@@ -244,6 +258,24 @@ class Trainer:
         os.makedirs(os.path.dirname(self._metrics_path), exist_ok=True)
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def _stacked_iterator(self, loader, k: int):
+        """Group k host batches, stack on a new leading axis, and place them
+        with the per-step batch dim sharded over 'data'."""
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, self.cfg.mesh.data_axis))
+        group: list[dict] = []
+        for batch in loader:
+            group.append(batch)
+            if len(group) == k:
+                stacked = {
+                    key: np.stack([g[key] for g in group]) for key in group[0]
+                }
+                yield jax.device_put(stacked, sharding)
+                group = []
+        # drop the ragged tail (train loaders already drop_last per epoch)
 
     def evaluate(self, loader, state: TrainState | None = None, limit: int = 0):
         state = state if state is not None else self.state
@@ -277,7 +309,8 @@ class Trainer:
             start_epoch = int(ckpt.latest_epoch())
             self.logger.info("Resumed from epoch %d", start_epoch)
 
-        train_step = self._make_train_step()
+        k = max(1, cfg.steps_per_call)
+        train_step = self._make_train_scan(k) if k > 1 else self._make_train_step()
         history: list[dict] = []
         best = -math.inf if cfg.early_stop_mode == "max" else math.inf
         since_best = 0
@@ -287,9 +320,12 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             running, nsteps = 0.0, 0
-            it = device_put_iterator(iter(train_loader), self._batch_sharding)
+            if k > 1:
+                it = self._stacked_iterator(train_loader, k)
+            else:
+                it = device_put_iterator(iter(train_loader), self._batch_sharding)
             for i, batch in enumerate(it):
-                if cfg.limit_train_batches and i >= cfg.limit_train_batches:
+                if cfg.limit_train_batches and i * k >= cfg.limit_train_batches:
                     break
                 if cfg.profile_dir and not profiled and i == 1:
                     # trace a few steady-state steps once per run
@@ -299,13 +335,13 @@ class Trainer:
                         for _ in range(cfg.profile_steps):
                             self.state, metrics = train_step(self.state, batch)
                             jax.block_until_ready(metrics["loss"])
-                            running += float(metrics["loss"])
-                            nsteps += 1
+                            running += float(metrics["loss"]) * k
+                            nsteps += k
                     profiled = True
                     continue
                 self.state, metrics = train_step(self.state, batch)
-                running += float(metrics["loss"])
-                nsteps += 1
+                running += float(metrics["loss"]) * k
+                nsteps += k
             dt = time.time() - t0
             train_loss = running / max(nsteps, 1)
             record = {
