@@ -44,7 +44,7 @@ from ..utils.jaxcache import enable_compile_cache
 from ..utils.logging import get_logger
 from . import losses
 from .checkpoint import CheckpointManager
-from .optim import build_optimizer
+from .optim import build_optimizer, fast_global_norm
 
 
 @struct.dataclass
@@ -203,13 +203,23 @@ class Trainer:
             )
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            grad_norm = fast_global_norm(grads)
+            if cfg.nan_guard:
+                # one fused finiteness check; non-finite -> skip the update
+                # (replaces the reference's loss-patching, finetune.py:181-188)
+                ok = jnp.isfinite(grad_norm) & jnp.isfinite(loss)
+                new_params, new_opt_state = jax.lax.cond(
+                    ok,
+                    lambda: (new_params, new_opt_state),
+                    lambda: (state.params, state.opt_state),
+                )
             new_state = TrainState(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt_state,
                 model_state=new_ms if new_ms else state.model_state,
             )
-            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+            metrics = {"loss": loss, "grad_norm": grad_norm, **aux}
             return new_state, metrics
 
         return train_step
