@@ -117,3 +117,11 @@ def test_resnet_conversion_structure_and_forward():
     logits = model.apply({"params": params, **model_state}, x)
     assert logits.shape == (2, 5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_resnet_head_reinit_on_mismatch():
+    """Head width must match the last stage's output when re-initialized
+    (BasicBlock: 512; Bottleneck: 2048)."""
+    sd = _fake_torch_resnet18_sd(ncls=7)   # checkpoint trained with 7 classes
+    params, _ = torch_resnet_to_flax(sd, num_classes=3)
+    assert params["head"]["kernel"].shape == (512, 3)

@@ -117,7 +117,8 @@ class Predictor:
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             conf = jnp.max(probs, axis=-1)
             pred = jnp.argmax(probs, axis=-1)
-            return pred, conf
+            # one output array -> one device->host round trip per request
+            return jnp.stack([pred.astype(jnp.float32), conf])
 
         self._predict = _predict
         # keep weights on device once
@@ -127,7 +128,7 @@ class Predictor:
     def warmup(self, buckets=BUCKETS) -> None:
         for b in buckets:
             dummy = np.zeros((b, *self.image_size, 3), np.uint8)
-            jax.block_until_ready(self._predict(self._params, self._model_state, dummy))
+            np.asarray(self._predict(self._params, self._model_state, dummy))
 
     def predict_array(self, images_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(N,H,W,3) uint8 -> (pred_idx (N,), confidence (N,)). Pads to the
@@ -144,8 +145,8 @@ class Predictor:
             return np.concatenate(preds), np.concatenate(confs)
         padded = np.zeros((bucket, *images_u8.shape[1:]), np.uint8)
         padded[:n] = images_u8
-        pred, conf = self._predict(self._params, self._model_state, padded)
-        return np.asarray(pred)[:n], np.asarray(conf)[:n]
+        out = np.asarray(self._predict(self._params, self._model_state, padded))
+        return out[0, :n].astype(np.int64), out[1, :n]
 
     def predict_images(self, pil_images) -> list[tuple[str, float]]:
         arr = np.stack(

@@ -171,8 +171,11 @@ def torch_resnet_to_flax(
         params["head"] = {"kernel": fc_w.T, "bias": sd["fc.bias"]}
     else:
         rng = np.random.default_rng(0)
-        width = sd["bn1.weight"].shape[0] * (8 if any(
-            k.startswith("layer4") and ".conv3." in k for k in sd) else 1) * 8
+        # feature width = channels of the last stage's final BN
+        last_stage = max(stage_blocks)
+        last_block = stage_blocks[last_stage] - 1
+        n_convs = 3 if f"layer{last_stage}.{last_block}.conv3.weight" in sd else 2
+        width = sd[f"layer{last_stage}.{last_block}.bn{n_convs}.weight"].shape[0]
         params["head"] = {
             "kernel": rng.normal(0.0, 0.02, (width, num_classes)).astype(np.float32),
             "bias": np.zeros((num_classes,), np.float32),
