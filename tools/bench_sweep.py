@@ -40,9 +40,9 @@ def run_one(batch, attention_impl, remat, steps=12, warmup=3):
 
 if __name__ == "__main__":
     import sys
+    import sys
     combos = [
-        (64, "xla", True), (128, "xla", True), (256, "xla", True),
-        (128, "flash", True), (128, "xla", False),
+        (128, "flash", False),
     ]
     for batch, attn, remat in combos:
         try:

@@ -87,6 +87,14 @@ class Attention(nn.Module):
             from ..ops.attention import flash_attention
 
             out = flash_attention(q, k, v)                    # (B, N, nh, hd)
+        elif cfg.attention_impl == "xla_remat":
+            # XLA forward, recomputed in backward: the (B, nh, N, N)
+            # probabilities are never stored for the backward pass, removing
+            # ~160 MB/layer of activation residuals (and the auto-remat
+            # pressure they cause) at the cost of one extra attention fwd
+            from ..ops.attention import _reference_attention
+
+            out = jax.checkpoint(_reference_attention)(q, k, v)
         else:
             scale = hd ** -0.5
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale

@@ -18,6 +18,7 @@ cover it everywhere.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +31,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+HEAD_GROUP = 4  # heads per grid step: bounds the (G, N_pad, N_pad) f32
+                # logits block to ~1 MB so the kernel fits VMEM at any batch
+
+
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    """All heads of one image per grid step: q/k/v refs are (1, H, N_pad, D).
-    The head axis rides the MXU's batched matmul; fewer grid iterations than
-    a per-(batch, head) grid (128 vs 2048 for ViT-L at batch 128)."""
-    q = q_ref[0]            # (H, N_pad, D)
+    """One (image, head-group) per grid step: q/k/v refs are
+    (1, G, N_pad, D). The group axis rides the MXU's batched matmul —
+    far fewer grid iterations than per-(batch, head), with VMEM bounded by
+    the group size."""
+    q = q_ref[0]            # (G, N_pad, D)
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
@@ -57,6 +63,8 @@ def _flash_forward(q, k, v):
     b, n, h, d = q.shape
     scale = d ** -0.5
     n_pad = max(_round_up(n, 128), 128)
+    g = math.gcd(h, HEAD_GROUP) if h < HEAD_GROUP else HEAD_GROUP
+    n_groups = h // g
 
     def prep(x):
         x = jnp.transpose(x, (0, 2, 1, 3))                 # (B, H, N, D)
@@ -66,11 +74,12 @@ def _flash_forward(q, k, v):
 
     kernel = functools.partial(_attention_kernel, n_valid=n, scale=scale)
     spec = pl.BlockSpec(
-        (1, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu_compat.VMEM
+        (1, g, n_pad, d), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu_compat.VMEM,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, n_groups),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),

@@ -376,9 +376,10 @@ class Trainer:
                 k: v for k, v in record.items() if isinstance(v, (int, float))
             }
             if cfg.checkpoint.monitor not in metrics_for_ckpt:
-                metrics_for_ckpt[cfg.checkpoint.monitor] = record.get(
-                    "val_acc", train_loss
-                )
+                # no val loader: substitute train loss, sign-adjusted so the
+                # manager's best-mode ordering still prefers lower loss
+                fallback = -train_loss if cfg.checkpoint.mode == "max" else train_loss
+                metrics_for_ckpt[cfg.checkpoint.monitor] = fallback
             ckpt.save(epoch + 1, jax.device_get(self.state), metrics_for_ckpt)
 
             if metric_key in record:
