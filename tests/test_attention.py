@@ -68,3 +68,14 @@ def test_vit_with_flash_attention_matches_xla():
     a = m_xla.apply(params, x)
     b = m_flash.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+
+def test_non_multiple_head_counts():
+    """Head counts not divisible by the head-group size (e.g. 6) must still
+    compute every head (regression: groups previously truncated)."""
+    for h in (3, 6, 5):
+        q, k, v = _qkv(b=1, n=64, h=h, d=32, seed=h)
+        out = flash_attention(q, k, v)
+        ref = _reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)

@@ -28,11 +28,11 @@ def run(batch, aug_on, mix_on, remat=False, steps=12, warmup=3, canvas=256):
     db = jax.device_put(b, data_sharding(mesh))
     for _ in range(warmup):
         state, m = step_fn(state, db)
-    import jax as j; j.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step_fn(state, db)
-    j.block_until_ready(m["loss"])
+    float(m["loss"])
     return batch * steps / (time.perf_counter() - t0)
 
 if __name__ == "__main__":

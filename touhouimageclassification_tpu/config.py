@@ -121,6 +121,10 @@ class ViTConfig:
     # extra FLOPs for O(layers) activation memory, enabling much larger
     # per-chip batches (HBM is the bottleneck, SURVEY §6 targets)
     remat: bool = False
+    # 'exact' = erf GELU (HF ViT parity — required to serve converted
+    # checkpoints bit-true); 'tanh' = cheaper approximation (exact erf
+    # profiles at ~40% of forward VPU time on v5e)
+    gelu: str = "exact"
 
     @property
     def num_patches(self) -> int:

@@ -91,7 +91,14 @@ class Attention(nn.Module):
             # XLA forward, recomputed in backward: the (B, nh, N, N)
             # probabilities are never stored for the backward pass, removing
             # ~160 MB/layer of activation residuals (and the auto-remat
-            # pressure they cause) at the cost of one extra attention fwd
+            # pressure they cause) at the cost of one extra attention fwd.
+            # No attention-dropout support on this path (the reference uses
+            # rate 0.0 everywhere).
+            if cfg.attention_dropout_rate > 0.0:
+                raise ValueError(
+                    "attention_impl='xla_remat' does not support "
+                    "attention_dropout_rate > 0; use 'xla'"
+                )
             from ..ops.attention import _reference_attention
 
             out = jax.checkpoint(_reference_attention)(q, k, v)
@@ -119,8 +126,8 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         x = nn.Dense(cfg.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        # HF ViT uses exact (erf) GELU
-        x = nn.gelu(x, approximate=False)
+        # HF ViT uses exact (erf) GELU; 'tanh' trades parity for VPU time
+        x = nn.gelu(x, approximate=(cfg.gelu == "tanh"))
         if cfg.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)

@@ -63,7 +63,7 @@ def _flash_forward(q, k, v):
     b, n, h, d = q.shape
     scale = d ** -0.5
     n_pad = max(_round_up(n, 128), 128)
-    g = math.gcd(h, HEAD_GROUP) if h < HEAD_GROUP else HEAD_GROUP
+    g = math.gcd(h, HEAD_GROUP)  # always divides h (h=6 -> groups of 2)
     n_groups = h // g
 
     def prep(x):
