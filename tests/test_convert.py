@@ -125,3 +125,42 @@ def test_resnet_head_reinit_on_mismatch():
     sd = _fake_torch_resnet18_sd(ncls=7)   # checkpoint trained with 7 classes
     params, _ = torch_resnet_to_flax(sd, num_classes=3)
     assert params["head"]["kernel"].shape == (512, 3)
+
+
+def test_vitmodel_in21k_layout_converts():
+    """Bare ViTModel snapshots (google/vit-*-in21k) have no 'vit.' prefix and
+    no classifier; the converter must normalize and reinit the head."""
+    cfg = transformers.ViTConfig(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        intermediate_size=MLP, image_size=IMG, patch_size=PATCH,
+    )
+    torch.manual_seed(0)
+    backbone = transformers.ViTModel(cfg)   # in21k snapshot layout
+    params = torch_vit_to_flax(backbone.state_dict(), num_classes=NCLS)
+    assert params["head"]["kernel"].shape == (HIDDEN, NCLS)
+
+    # backbone outputs must match a classifier model carrying those weights
+    full = transformers.ViTForImageClassification(
+        transformers.ViTConfig(hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+                               num_attention_heads=HEADS, intermediate_size=MLP,
+                               image_size=IMG, patch_size=PATCH, num_labels=NCLS))
+    full.vit.load_state_dict(backbone.state_dict(), strict=False)
+    from touhouimageclassification_tpu.config import ViTConfig as FViTConfig
+    from touhouimageclassification_tpu.models.vit import ViT as FViT
+
+    fmodel = FViT(FViTConfig(image_size=IMG, patch_size=PATCH, hidden_size=HIDDEN,
+                             num_layers=LAYERS, num_heads=HEADS, mlp_dim=MLP,
+                             num_classes=NCLS), compute_dtype="float32")
+    x = np.random.default_rng(3).normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_hidden = full.vit(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                            ).last_hidden_state.numpy()
+    # compare pre-head CLS features via the converted flax model by zeroing
+    # the head bias/kernel symmetry: easier — compare logits after loading
+    # the SAME reinit head into torch
+    with torch.no_grad():
+        full.classifier.weight.copy_(torch.from_numpy(params["head"]["kernel"].T))
+        full.classifier.bias.copy_(torch.from_numpy(params["head"]["bias"]))
+        t_logits = full(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    f_logits = np.asarray(fmodel.apply({"params": params}, x))
+    np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)

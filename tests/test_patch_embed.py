@@ -34,3 +34,36 @@ def test_vit_with_pallas_patch_embed_runs():
     logits = model.apply(params, x)
     assert logits.shape == (2, 5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pallas_patch_embed_gradients():
+    """custom VJP: gradients must match the XLA unfold+matmul path."""
+    from touhouimageclassification_tpu.ops.patch_embed import pallas_patch_embed
+
+    imgs = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    kernel = jax.random.normal(jax.random.key(1), (16 * 16 * 3, 32)) * 0.02
+    bias = jnp.zeros((32,))
+
+    def loss_pallas(i, k, b):
+        return jnp.sum(pallas_patch_embed(i, k, b, 16) ** 2)
+
+    def loss_ref(i, k, b):
+        x = i.reshape(2, 2, 16, 2, 16, 3).transpose(0, 1, 3, 2, 4, 5).reshape(2, 4, -1)
+        return jnp.sum((x @ k + b) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(imgs, kernel, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(imgs, kernel, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_vit_pallas_patch_embed_shares_param_tree():
+    """Params created on the pallas path must load on the xla path and
+    vice versa (converter compatibility)."""
+    m_x = ViT(_cfg("xla"), compute_dtype="float32")
+    m_p = ViT(_cfg("pallas"), compute_dtype="float32")
+    x = jnp.ones((1, 32, 32, 3))
+    params = m_x.init(jax.random.key(0), x)
+    a = m_x.apply(params, x)
+    b = m_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -89,3 +89,34 @@ def test_full_judge_csv_schema_and_filter(predictor, dataset, tmp_path):
     assert tot == len(rows) and cnt == n_correct
     copied = sum(len(files) for _, _, files in os.walk(out_dir))
     assert copied == cnt
+
+
+def test_serving_meta_roundtrip(dataset, tmp_path):
+    """export_for_serving writes the training-time normalization stats and
+    serve.init picks them up instead of dataset statistics."""
+    import json
+    import os
+
+    from touhouimageclassification_tpu.train.checkpoint import save_params
+
+    out = str(tmp_path / "served")
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    save_params(out, {"params": params})
+    with open(os.path.join(out, "serving_meta.json"), "w") as f:
+        json.dump({"model_type": "vit-base", "epoch": 1,
+                   "mean": [0.1, 0.2, 0.3], "std": [0.5, 0.5, 0.5],
+                   "normalize_stats": "imagenet"}, f)
+
+    from touhouimageclassification_tpu.infer import serve as S
+
+    # patch model construction to the tiny config so init() works end-to-end
+    orig = S.get_model
+    S.get_model = lambda mt, n: ViT(TINY)
+    try:
+        pred = S.init(modelt="vit-base", weights=out, data_dir=dataset)
+    finally:
+        S.get_model = orig
+    np.testing.assert_allclose(pred.mean, [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(pred.std, [0.5, 0.5, 0.5])

@@ -119,3 +119,25 @@ def test_mixup_path_in_trainer(dataset, tmp_path):
     train, val = _loaders(dataset)
     history = trainer.fit(train, val, resume=False)
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_loader_early_break_releases_producer(dataset):
+    """Breaking out of a loader mid-epoch must not wedge the producer thread
+    (review finding: q.put blocked forever on a full queue)."""
+    import threading
+    import time
+
+    from touhouimageclassification_tpu.data.folder import scan_image_folder
+    from touhouimageclassification_tpu.data.loader import HostImageLoader
+
+    index = scan_image_folder(dataset)
+    before = threading.active_count()
+    for _ in range(5):
+        loader = HostImageLoader(index, batch_size=4, canvas=(24, 24),
+                                 prefetch_batches=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # early break
+    time.sleep(1.0)  # let cancelled producers notice and exit
+    after = threading.active_count()
+    assert after - before <= 1

@@ -225,15 +225,16 @@ class OptimizerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CheckpointConfig:
-    """Dual ModelCheckpoint semantics (ntrain.py:221-236): keep top-k by a
-    monitored metric AND keep-last-k every N epochs, in one Orbax manager."""
+    """Retention semantics of the reference's dual ModelCheckpoint callbacks
+    (ntrain.py:221-236), mapped onto one Orbax manager: keep the top-k
+    checkpoints by the monitored metric, plus every ``every_n_epochs``-th
+    checkpoint (Orbax ``keep_period``)."""
 
     directory: str = CHECKPOINT_DIR
     top_k: int = 3
     monitor: str = "val_acc"
     mode: str = "max"
     every_n_epochs: int = 3
-    keep_last: int = 3
     async_save: bool = True
 
 
@@ -259,6 +260,11 @@ class TrainConfig:
     test_dir: str = TEST_DIR
     train_split: float = 0.8
     seed: int = 42                      # L.seed_everything(42), ntrain.py:186
+    # 'imagenet' = the fixed ImageNet statistics every ntrain recipe uses
+    # (ntrain.py:101); 'dataset' = per-dataset mean/std computed and cached
+    # like the hand-rolled paths (preprocess.py get_transforms). The value
+    # used is exported with serving params so serve normalizes identically.
+    normalize_stats: str = "imagenet"
 
     global_batch_size: int = 8
     max_epochs: int = 20
@@ -337,6 +343,7 @@ PRESETS: Mapping[str, TrainConfig] = {
     # epochs 40, batch 30, LR 1e-5, AdamW wd 0.01, warmup 500, unfiltered)
     "finetune_vit_base": TrainConfig(
         train_id="ViT_finetune",
+        normalize_stats="dataset",
         model_type="vit-base",
         data_dir=UNFILTERED_DATA_DIR,
         train_split=0.9,
@@ -355,6 +362,7 @@ PRESETS: Mapping[str, TrainConfig] = {
     # scratch pretrain (TIC/ViT/pretrain.py:272-340: 60 epochs, batch 80, LR 1e-4)
     "pretrain_vit": TrainConfig(
         train_id="ViT_pretrain",
+        normalize_stats="dataset",
         model_type="vit-base",
         pretrained=False,
         data_dir=UNFILTERED_DATA_DIR,
@@ -373,6 +381,7 @@ PRESETS: Mapping[str, TrainConfig] = {
     # batch 80, 25 epochs, 256x256)
     "resnet152": TrainConfig(
         train_id="ResNet_train",
+        normalize_stats="dataset",
         model_type="resnet152",
         pretrained=False,
         data_dir=UNFILTERED_DATA_DIR,
@@ -415,7 +424,7 @@ PRESETS: Mapping[str, TrainConfig] = {
         optimizer=OptimizerConfig(name="sgd", learning_rate=5e-2, grad_accum_steps=4),
         augment=AugmentConfig(enable_augmentation=False),
         mix=MixConfig(enable_mixup=False),
-        checkpoint=CheckpointConfig(top_k=10, every_n_epochs=3, keep_last=10,
+        checkpoint=CheckpointConfig(top_k=10, every_n_epochs=3,
                                     monitor="val_loss", mode="min"),
         early_stop_monitor="val_loss",
         early_stop_mode="min",

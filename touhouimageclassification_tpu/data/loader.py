@@ -138,17 +138,31 @@ class HostImageLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = object()
+        cancelled = threading.Event()
+
+        def put(item) -> bool:
+            """Blocking put that gives up when the consumer is gone (a
+            consumer breaking out of the loop — limit_train_batches — must
+            not leave this thread wedged on a full queue)."""
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
-                while True:
+                while not cancelled.is_set():
                     for batch in self._iter_epoch(pool):
-                        q.put(batch)
+                        if not put(batch):
+                            return
                     if not self.loop:
                         break
-                q.put(stop)
+                put(stop)
             except BaseException as e:  # surface decode errors to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -161,6 +175,7 @@ class HostImageLoader:
                     raise item
                 yield item
         finally:
+            cancelled.set()
             pool.shutdown(wait=False, cancel_futures=True)
 
 

@@ -71,7 +71,11 @@ def load_weights(path: str, model=None, num_classes: int | None = None):
     """
     if path.endswith((".pth", ".pt", ".bin", ".safetensors")):
         from ..utils.convert import load_torch_checkpoint
+        from ..utils.pretrained import _load_state_dict
 
+        if path.endswith(".safetensors"):
+            sd = _load_state_dict(path)
+            return load_torch_checkpoint(sd, model, num_classes)
         return load_torch_checkpoint(path, model, num_classes)
     from ..train.checkpoint import load_params
 
@@ -188,7 +192,19 @@ def init(
             raise ValueError(f"No default checkpoint found for model type: {mt}")
     params, model_state = load_weights(weights, model, num_classes)
     image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
-    mean, std = get_mean_std(data_dir, image_size)
+    # normalization: prefer the training-time statistics exported with the
+    # params (serving_meta.json); fall back to the dataset statistics (the
+    # reference's get_transforms behavior) for converted/legacy weights
+    meta_path = os.path.join(weights, "serving_meta.json") if os.path.isdir(
+        weights) else None
+    if meta_path and os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        mean, std = np.asarray(meta["mean"]), np.asarray(meta["std"])
+    else:
+        mean, std = get_mean_std(data_dir, image_size)
     return Predictor(
         model=model, params=params, model_state=model_state,
         class_to_idx=class_to_idx, image_size=image_size, mean=mean, std=std,

@@ -32,12 +32,33 @@ def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+class _Proj(nn.Module):
+    """Parameter holder for the patch projection (scoped so the tree is
+    ``patch_embed/proj/{kernel,bias}`` on both the XLA and Pallas paths,
+    matching what the converter produces)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.out_features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class PatchEmbed(nn.Module):
-    """Space-to-depth + Dense. Equivalent to Conv(kernel=P, stride=P).
+    """Space-to-depth + projection. Equivalent to Conv(kernel=P, stride=P).
 
     Input NHWC (B, S, S, 3) -> (B, N, hidden). The unfold order is
     (ph, pw, c) to match a conv kernel laid out (Ph, Pw, C, O), which is what
-    the HF->flax converter produces from torch OIHW weights.
+    the HF->flax converter produces from torch OIHW weights. With
+    ``cfg.patch_embed_impl == 'pallas'`` the unfold+matmul runs as one fused
+    kernel (``ops/patch_embed.py``); params are identical either way.
     """
 
     cfg: ViTConfig
@@ -48,17 +69,18 @@ class PatchEmbed(nn.Module):
         cfg = self.cfg
         p = cfg.patch_size
         b, h, w, c = x.shape
+        kernel, bias = _Proj(p * p * c, cfg.hidden_size, name="proj")()
+        if cfg.patch_embed_impl == "pallas":
+            from ..ops.patch_embed import pallas_patch_embed
+
+            return pallas_patch_embed(
+                x, kernel.astype(self.dtype), bias.astype(self.dtype), p
+            )
         gh, gw = h // p, w // p
         x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5)          # (B, gh, gw, p, p, c)
         x = x.reshape(b, gh * gw, p * p * c)
-        x = nn.Dense(
-            cfg.hidden_size,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="proj",
-        )(x)
-        return x
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class Attention(nn.Module):
@@ -84,6 +106,11 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, nh, hd)
 
         if cfg.attention_impl == "flash":
+            if cfg.attention_dropout_rate > 0.0:
+                raise ValueError(
+                    "attention_impl='flash' does not support "
+                    "attention_dropout_rate > 0; use 'xla'"
+                )
             from ..ops.attention import flash_attention
 
             out = flash_attention(q, k, v)                    # (B, N, nh, hd)
@@ -180,21 +207,7 @@ class ViT(nn.Module):
             )
         x = x.astype(dtype)
 
-        if cfg.patch_embed_impl == "pallas":
-            from ..ops.patch_embed import pallas_patch_embed
-
-            proj = self.param(
-                "patch_embed_kernel",
-                nn.initializers.lecun_normal(),
-                (cfg.patch_size * cfg.patch_size * 3, cfg.hidden_size),
-                jnp.float32,
-            )
-            bias = self.param(
-                "patch_embed_bias", nn.initializers.zeros, (cfg.hidden_size,), jnp.float32
-            )
-            x = pallas_patch_embed(x, proj.astype(dtype), bias.astype(dtype), cfg.patch_size)
-        else:
-            x = PatchEmbed(cfg, dtype=dtype, name="patch_embed")(x)
+        x = PatchEmbed(cfg, dtype=dtype, name="patch_embed")(x)
 
         b = x.shape[0]
         cls = self.param(

@@ -32,13 +32,29 @@ def _kernel(img_ref, w_ref, b_ref, o_ref, *, patch: int):
     o_ref[0] = (y + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def pallas_patch_embed(images: jax.Array, kernel: jax.Array, bias: jax.Array,
-                       patch: int) -> jax.Array:
-    """images (B, H, W, C) x kernel (P*P*C, D) + bias (D,) -> (B, N, D)."""
+def _unfold(images: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, C) -> (B, N, P*P*C) in (ph, pw, c) order."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def _fold(unfolded: jax.Array, patch: int, h: int, w: int, c: int) -> jax.Array:
+    """Inverse of :func:`_unfold`."""
+    b = unfolded.shape[0]
+    gh, gw = h // patch, w // patch
+    x = unfolded.reshape(b, gh, gw, patch, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _pallas_forward(images, kernel, bias, patch: int):
     b, h, w, c = images.shape
     n = (h // patch) * (w // patch)
     d = kernel.shape[1]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, patch=patch),
         grid=(b,),
         in_specs=[
@@ -53,4 +69,33 @@ def pallas_patch_embed(images: jax.Array, kernel: jax.Array, bias: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, n, d), images.dtype),
         interpret=pltpu_compat.should_interpret(),
     )(images, kernel, bias)
-    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_patch_embed(images: jax.Array, kernel: jax.Array, bias: jax.Array,
+                       patch: int) -> jax.Array:
+    """images (B, H, W, C) x kernel (P*P*C, D) + bias (D,) -> (B, N, D).
+
+    Pallas forward; plain-XLA backward (unfold is a pure permutation, so the
+    gradients are simple matmuls — no kernel needed)."""
+    return _pallas_forward(images, kernel, bias, patch)
+
+
+def _fwd(images, kernel, bias, patch):
+    return _pallas_forward(images, kernel, bias, patch), (images, kernel)
+
+
+def _bwd(patch, res, g):
+    images, kernel = res
+    b, h, w, c = images.shape
+    unfolded = _unfold(images, patch)                         # (B, N, K)
+    gf = g.astype(jnp.float32)
+    d_kernel = jnp.einsum("bnk,bnd->kd", unfolded.astype(jnp.float32), gf)
+    d_bias = jnp.sum(gf, axis=(0, 1))
+    d_unfolded = jnp.einsum("bnd,kd->bnk", gf, kernel.astype(jnp.float32))
+    d_images = _fold(d_unfolded, patch, h, w, c)
+    return (d_images.astype(images.dtype), d_kernel.astype(kernel.dtype),
+            d_bias.astype(kernel.dtype))
+
+
+pallas_patch_embed.defvjp(_fwd, _bwd)

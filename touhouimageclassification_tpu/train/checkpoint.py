@@ -23,9 +23,14 @@ from ..config import CheckpointConfig
 
 
 class CheckpointManager:
-    def __init__(self, cfg: CheckpointConfig, run_name: str):
+    def __init__(self, cfg: CheckpointConfig, run_name: str,
+                 directory: str | None = None):
+        """``directory`` overrides the default ``<cfg.directory>/<run_name>``
+        location (the --restore <path> case)."""
         self.cfg = cfg
-        self.directory = os.path.abspath(os.path.join(cfg.directory, run_name))
+        self.directory = os.path.abspath(
+            directory if directory else os.path.join(cfg.directory, run_name)
+        )
         options = ocp.CheckpointManagerOptions(
             max_to_keep=cfg.top_k,
             best_fn=(lambda metrics: float(metrics[cfg.monitor])) if cfg.monitor else None,

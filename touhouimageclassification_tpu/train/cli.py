@@ -18,6 +18,25 @@ from .checkpoint import CheckpointManager, save_params
 from .trainer import Trainer
 
 
+def resolve_normalize_stats(cfg: TrainConfig) -> TrainConfig:
+    """``normalize_stats='dataset'`` -> fill cfg.augment.mean/std with the
+    cached per-dataset statistics (the hand-rolled reference paths' behavior,
+    ``preprocess.py get_transforms``); 'imagenet' keeps the defaults."""
+    if cfg.normalize_stats != "dataset":
+        return cfg
+    import dataclasses
+
+    from ..config import get_image_size
+    from ..utils.mean_std import get_mean_std
+
+    mean, std = get_mean_std(cfg.data_dir, get_image_size(cfg.model_type))
+    aug = dataclasses.replace(
+        cfg.augment, mean=tuple(float(m) for m in mean),
+        std=tuple(float(s) for s in std),
+    )
+    return dataclasses.replace(cfg, augment=aug)
+
+
 def canvas_for(cfg: TrainConfig, out_size: tuple[int, int]) -> tuple[int, int]:
     """Host decode canvas: RandomResizedCrop recipes keep ~8/7 headroom
     (224 -> 256) so zoom-out crops retain detail; other recipes decode
@@ -52,7 +71,11 @@ def export_for_serving(cfg: TrainConfig, trainer: Trainer, out_path: str,
                        epoch: int | None = None) -> str:
     """--transform: training checkpoint -> bare serving params
     (``ntrain.py:188-194`` / ``extract_ckpt.py`` analogue). Picks the best
-    epoch by the monitored metric unless ``epoch`` is given."""
+    epoch by the monitored metric unless ``epoch`` is given. Writes a
+    ``serving_meta.json`` beside the params carrying the training-time
+    normalization statistics so serve normalizes identically."""
+    import json
+
     ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
     state = trainer.init_state()
     epoch = epoch if epoch is not None else (ckpt.best_epoch() or ckpt.latest_epoch())
@@ -61,6 +84,15 @@ def export_for_serving(cfg: TrainConfig, trainer: Trainer, out_path: str,
     if state.model_state:
         payload["model_state"] = state.model_state
     save_params(out_path, payload)
+    meta = {
+        "model_type": cfg.model_type,
+        "epoch": int(epoch),
+        "mean": list(cfg.augment.mean),
+        "std": list(cfg.augment.std),
+        "normalize_stats": cfg.normalize_stats,
+    }
+    with open(os.path.join(os.path.abspath(out_path), "serving_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
     ckpt.close()
     print(f"Exported epoch {epoch} serving params to {out_path}")
     return out_path
@@ -97,6 +129,7 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
 def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
         init_params=None) -> Trainer:
     """The common --transform/--test/fit flow."""
+    cfg = resolve_normalize_stats(cfg)
     trainer = Trainer(cfg, model=model, task=task, param_filter=param_filter,
                       init_params=init_params)
 

@@ -144,9 +144,19 @@ class Trainer:
             params = self._init_params
         model_state = variables  # batch_stats etc., possibly empty
 
-        tx = build_optimizer(
-            self.cfg.optimizer, steps_per_epoch, nan_guard=self.cfg.nan_guard
-        )
+        opt_cfg = self.cfg.optimizer
+        if opt_cfg.schedule == "warmup_linear" and opt_cfg.total_steps <= 0:
+            # wire the decay horizon when the caller didn't: without it the
+            # LR would collapse to 0 one step after warmup
+            import dataclasses
+
+            opt_cfg = dataclasses.replace(
+                opt_cfg,
+                total_steps=max(
+                    steps_per_epoch * self.cfg.max_epochs, opt_cfg.warmup_steps + 1
+                ),
+            )
+        tx = build_optimizer(opt_cfg, steps_per_epoch, nan_guard=self.cfg.nan_guard)
         mask = self._trainable_mask(params)
         if not all(jax.tree_util.tree_leaves(mask)):
             tx = optax.multi_transform(
@@ -312,7 +322,21 @@ class Trainer:
         self.state = self.init_state(steps_per_epoch)
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
         start_epoch = 0
-        if resume and ckpt.latest_epoch() is not None:
+        if isinstance(resume, str) and resume:
+            # --restore <path>: restore from an explicit checkpoint dir
+            # (reference ckpt_path semantics) while new saves go to the
+            # run's own directory
+            src = CheckpointManager(cfg.checkpoint, cfg.train_id,
+                                    directory=resume)
+            if src.latest_epoch() is None:
+                raise FileNotFoundError(f"No checkpoint under {resume}")
+            self.state = shard_state(
+                src.restore(self.state), self.mesh, cfg.mesh.expert_axis
+            )
+            start_epoch = int(src.latest_epoch())
+            src.close()
+            self.logger.info("Restored %s (epoch %d)", resume, start_epoch)
+        elif resume and ckpt.latest_epoch() is not None:
             self.state = shard_state(
                 ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
             )

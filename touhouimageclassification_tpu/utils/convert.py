@@ -39,6 +39,16 @@ def _strip_prefixes(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
     # 'vit.classifier.*'; bare HF keys are 'vit.*' and 'classifier.*'.
     if any(k.startswith("vit.vit.") for k in out):
         out = {k[len("vit."):]: v for k, v in out.items() if k.startswith("vit.")}
+    # Bare ViTModel snapshots (google/vit-*-in21k): keys 'embeddings.*',
+    # 'encoder.*', 'layernorm.*' with no 'vit.' prefix and no classifier —
+    # normalize to the ViTForImageClassification layout. 'pooler.*' weights
+    # have no counterpart in the classifier model and are dropped.
+    if any(k.startswith("embeddings.") for k in out) and not any(
+        k.startswith("vit.") for k in out
+    ):
+        out = {
+            ("vit." + k): v for k, v in out.items() if not k.startswith("pooler.")
+        }
     return out
 
 
@@ -187,16 +197,20 @@ def torch_resnet_to_flax(
 # entry points
 # ---------------------------------------------------------------------------
 
-def load_torch_checkpoint(path: str, model, num_classes: int):
-    """Reference ``.pth`` -> (params, model_state). Tolerates the tuple
-    checkpoints ``(model_sd, optim[, sched])`` and dict formats the reference
-    loaders accept (``TIC/utils/serve.py:71-77``)."""
-    import torch
-
+def load_torch_checkpoint(path, model, num_classes: int):
+    """Reference ``.pth`` path (or an already-loaded state dict) ->
+    (params, model_state). Tolerates the tuple checkpoints
+    ``(model_sd, optim[, sched])`` and dict formats the reference loaders
+    accept (``TIC/utils/serve.py:71-77``)."""
     from ..models.resnet import ResNet
     from ..models.vit import ViT
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        ckpt = path
     if isinstance(ckpt, tuple):
         ckpt = ckpt[0]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
