@@ -19,14 +19,14 @@ def timed(f, make_args, iters=3, inner=1):
 def main():
     import jax, jax.numpy as jnp
     from touhouimageclassification_tpu.ops.attention import (
-        _flash_forward, _reference_attention)
+        _flash_forward, _reference_attention, flash_attention)
     B, N, NH, D, REPS = 128, 197, 16, 64, 24
 
     def make(i):
         ks = jax.random.split(jax.random.key(i), 3)
         return tuple(jax.random.normal(k, (B, N, NH, D)).astype(jnp.bfloat16) for k in ks)
 
-    for name, fn in [("xla", _reference_attention), ("pallas", _flash_forward)]:
+    for name, fn in [("xla", _reference_attention), ("pallas_own", _flash_forward), ("pallas_builtin", flash_attention)]:
         @jax.jit
         def run(q, k, v, fn=fn):
             def body(_, q):

@@ -182,19 +182,16 @@ def init(
         modelt = args.model
         weights = getattr(args, "weights", None)
         data_dir = getattr(args, "data_dir", None) or data_dir
-    class_to_idx = get_class_to_idx(data_dir)
-    num_classes = len(class_to_idx)
     mt = modelt.lower().replace("_", "-")
-    model = get_model(mt, num_classes)
     if weights is None:
         weights = model_checkpoints.get(mt)
         if weights is None:
             raise ValueError(f"No default checkpoint found for model type: {mt}")
-    params, model_state = load_weights(weights, model, num_classes)
-    image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
-    # normalization: prefer the training-time statistics exported with the
-    # params (serving_meta.json); fall back to the dataset statistics (the
-    # reference's get_transforms behavior) for converted/legacy weights
+
+    # serving_meta.json (written by export_for_serving) makes the export
+    # self-describing: exact architecture, training-time class map and
+    # normalization stats
+    meta = None
     meta_path = os.path.join(weights, "serving_meta.json") if os.path.isdir(
         weights) else None
     if meta_path and os.path.exists(meta_path):
@@ -202,8 +199,30 @@ def init(
 
         with open(meta_path) as f:
             meta = json.load(f)
+
+    if meta and meta.get("class_to_idx"):
+        class_to_idx = {k: int(v) for k, v in meta["class_to_idx"].items()}
+    else:
+        class_to_idx = get_class_to_idx(data_dir)
+    num_classes = len(class_to_idx)
+
+    if meta and "vit_config" in meta:
+        from ..config import ViTConfig
+        from ..models.vit import ViT as _ViT
+
+        vcfg = ViTConfig(**meta["vit_config"])
+        model = _ViT(vcfg)
+        image_size = (vcfg.image_size, vcfg.image_size)
+    else:
+        model = get_model(mt, num_classes)
+        image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
+
+    params, model_state = load_weights(weights, model, num_classes)
+    if meta:
         mean, std = np.asarray(meta["mean"]), np.asarray(meta["std"])
     else:
+        # converted/legacy weights: dataset statistics (the reference's
+        # get_transforms behavior)
         mean, std = get_mean_std(data_dir, image_size)
     return Predictor(
         model=model, params=params, model_state=model_state,

@@ -97,7 +97,7 @@ def _reference_attention(q, k, v):
 
 
 @jax.custom_vjp
-def flash_attention(q, k, v):
+def _own_flash_attention(q, k, v):
     return _flash_forward(q, k, v)
 
 
@@ -111,4 +111,37 @@ def _bwd(res, g):
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_own_flash_attention.defvjp(_fwd, _bwd)
+
+
+def _tpu_builtin_flash(q, k, v):
+    """jax.experimental.pallas.ops.tpu.flash_attention — the tuned upstream
+    kernel (fwd + dq/dkv backward kernels). Sequence padded to a block
+    multiple; padded keys masked via segment ids; padded query rows are
+    sliced off."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, n, h, d = q.shape
+    n_pad = max(_round_up(n, 128), 128)
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))                # (B, H, N, D)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    valid = (jnp.arange(n_pad) < n).astype(jnp.int32)[None, :]
+    seg = jnp.broadcast_to(valid, (b, n_pad))
+    # padded tokens get segment 0, valid tokens segment 1 -> no cross access
+    segment_ids = fa.SegmentIds(q=seg, kv=seg)
+    out = fa.flash_attention(
+        qf, kf, vf, segment_ids=segment_ids, sm_scale=d ** -0.5
+    )                                                      # (B, H, N_pad, D)
+    return jnp.transpose(out[:, :, :n, :], (0, 2, 1, 3))
+
+
+def flash_attention(q, k, v):
+    """Fused attention: the upstream tuned TPU kernel on TPU backends, this
+    module's (interpreter-capable) kernel elsewhere."""
+    if pltpu_compat.should_interpret():
+        return _own_flash_attention(q, k, v)
+    return _tpu_builtin_flash(q, k, v)

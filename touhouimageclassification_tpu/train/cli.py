@@ -37,6 +37,14 @@ def resolve_normalize_stats(cfg: TrainConfig) -> TrainConfig:
     return dataclasses.replace(cfg, augment=aug)
 
 
+def dataset_num_classes(cfg: TrainConfig) -> int:
+    """Class count from the training data's class map (what serving will use
+    via ``get_class_to_idx`` — the model head must match it)."""
+    from ..data.folder import get_class_to_idx
+
+    return len(get_class_to_idx(cfg.data_dir))
+
+
 def canvas_for(cfg: TrainConfig, out_size: tuple[int, int]) -> tuple[int, int]:
     """Host decode canvas: RandomResizedCrop recipes keep ~8/7 headroom
     (224 -> 256) so zoom-out crops retain detail; other recipes decode
@@ -91,6 +99,22 @@ def export_for_serving(cfg: TrainConfig, trainer: Trainer, out_path: str,
         "std": list(cfg.augment.std),
         "normalize_stats": cfg.normalize_stats,
     }
+    # self-describing export: serve rebuilds the exact architecture and the
+    # training-time class map from the metadata instead of guessing
+    model_cfg = getattr(trainer.model, "cfg", None)
+    if model_cfg is not None:
+        import dataclasses as _dc
+
+        from ..config import ViTConfig
+
+        if isinstance(model_cfg, ViTConfig):
+            meta["vit_config"] = _dc.asdict(model_cfg)
+    try:
+        from ..data.folder import get_class_to_idx
+
+        meta["class_to_idx"] = get_class_to_idx(cfg.data_dir)
+    except (FileNotFoundError, OSError):
+        pass
     with open(os.path.join(os.path.abspath(out_path), "serving_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     ckpt.close()
@@ -110,6 +134,9 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--schedule", type=str, default=None,
+                   choices=["constant", "warmup_linear", "step"])
     return p
 
 
@@ -123,6 +150,13 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
         over["max_epochs"] = args.max_epochs
     if args.batch_size:
         over["global_batch_size"] = args.batch_size
+    opt_over = {}
+    if getattr(args, "lr", None):
+        opt_over["learning_rate"] = args.lr
+    if getattr(args, "schedule", None):
+        opt_over["schedule"] = args.schedule
+    if opt_over:
+        over["optimizer"] = dataclasses.replace(cfg.optimizer, **opt_over)
     return dataclasses.replace(cfg, **over) if over else cfg
 
 

@@ -20,10 +20,19 @@ from .cli import apply_overrides, run, standard_argparser
 def main(argv=None, preset: str = "finetune_vit_base"):
     parser = standard_argparser("ViT finetune (hand-rolled recipe)")
     parser.add_argument("--no-pretrained", action="store_true")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny ViT dims (CI/CPU smoke runs)")
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(PRESETS[preset], args)
-    vcfg = vit_config(cfg.model_type)
+    from .cli import dataset_num_classes
+
+    vcfg = vit_config(cfg.model_type, num_classes=dataset_num_classes(cfg))
+    if args.tiny:
+        vcfg = dataclasses.replace(
+            vcfg, image_size=32, patch_size=16, hidden_size=32, num_layers=1,
+            num_heads=2, mlp_dim=64,
+        )
     model = ViT(vcfg)
     init_params = None
     if cfg.pretrained and not args.no_pretrained:

@@ -36,7 +36,9 @@ def main(argv=None, preset: str = "nvit"):
     cfg = apply_overrides(PRESETS[args.preset], args)
     if args.freeze_backbone:
         cfg = dataclasses.replace(cfg, full_finetune=False)
-    vcfg = vit_config(cfg.model_type)
+    from .cli import dataset_num_classes
+
+    vcfg = vit_config(cfg.model_type, num_classes=dataset_num_classes(cfg))
     if args.tiny:
         vcfg = dataclasses.replace(
             vcfg, image_size=32, patch_size=16, hidden_size=32, num_layers=1,

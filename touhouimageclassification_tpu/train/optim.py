@@ -24,8 +24,11 @@ from ..config import OptimizerConfig
 
 
 def build_schedule(cfg: OptimizerConfig, steps_per_epoch: int = 1):
+    # always a callable: a float LR makes optax emit a stateless scaler while
+    # schedules carry a count, so mixing them changes the opt_state pytree
+    # and breaks checkpoint restore across schedule settings
     if cfg.schedule == "constant":
-        return cfg.learning_rate
+        return optax.constant_schedule(cfg.learning_rate)
     if cfg.schedule == "warmup_linear":
         total = max(cfg.total_steps, cfg.warmup_steps + 1)
         return optax.join_schedules(

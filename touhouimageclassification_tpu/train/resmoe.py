@@ -41,8 +41,11 @@ def main(argv=None):
 
         tiny_vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
                              num_layers=1, num_heads=2, mlp_dim=64)
+    from .cli import dataset_num_classes
+
     moe_cfg = MoEConfig(num_experts=args.num_experts, top_k=args.top_k,
-                        routing=args.routing, expert_vit=tiny_vit)
+                        routing=args.routing, expert_vit=tiny_vit,
+                        num_classes=dataset_num_classes(cfg))
     model = MoEClassifier(moe_cfg)
     run(cfg, args, model=model, task=MoETask(moe_cfg))
 

@@ -18,7 +18,9 @@ def main(argv=None):
     cfg = apply_overrides(PRESETS["resnet152"], args)
     from ..models.resnet import resnet
 
-    model = resnet(args.depth)
+    from .cli import dataset_num_classes
+
+    model = resnet(args.depth, num_classes=dataset_num_classes(cfg))
     run(cfg, args, model=model)
 
 
