@@ -121,6 +121,10 @@ class ViTConfig:
     # extra FLOPs for O(layers) activation memory, enabling much larger
     # per-chip batches (HBM is the bottleneck, SURVEY §6 targets)
     remat: bool = False
+    # remat policy: 'full' recomputes the whole layer; 'dots' saves matmul
+    # outputs and recomputes only elementwise ops (cheap recompute, most of
+    # the memory win)
+    remat_policy: str = "full"
     # 'exact' = erf GELU (HF ViT parity — required to serve converted
     # checkpoints bit-true); 'tanh' = cheaper approximation (exact erf
     # profiles at ~40% of forward VPU time on v5e)

@@ -224,9 +224,14 @@ class ViT(nn.Module):
         if cfg.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
 
-        layer_cls = (
-            nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
-        )
+        if cfg.remat:
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,), policy=policy)
+        else:
+            layer_cls = EncoderLayer
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=dtype, name=f"layer_{i}")(
                 x, deterministic
