@@ -194,3 +194,41 @@ def test_reviewer_image_route(reviewer_env):
     assert out[:3] == b"\xff\xd8\xff"  # JPEG magic
     status, _h, _o = _wsgi_call(rapp.app, path="/img/alice/../../etc/passwd")
     assert status == "404 Not Found"
+
+
+def test_daemon_predict_stop_race(monkeypatch):
+    """The idle-unload timer firing mid-predict must not null the predictor
+    out from under a request (the reference's unguarded race, SURVEY §5)."""
+    import threading
+    import time as _time
+
+    from web import runtime as rt
+
+    calls = []
+
+    class SlowPredictor:
+        def predict_images(self, images):
+            calls.append("start")
+            _time.sleep(0.3)          # long inference
+            calls.append("end")
+            return [("reimu", 0.9)] * len(images)
+
+    daemon = rt.ModelDaemon()
+    daemon.predictor = SlowPredictor()
+    daemon._reset_timer()
+
+    results = {}
+
+    def do_predict():
+        results["out"] = daemon.predict(["img"])
+
+    t = threading.Thread(target=do_predict)
+    t.start()
+    _time.sleep(0.05)
+    daemon.stop()                      # unload racing the in-flight predict
+    t.join(timeout=5)
+    # the predict must have completed atomically (lock held) and the stop
+    # must have waited for it
+    assert results["out"] == [("reimu", 0.9)]
+    assert calls == ["start", "end"]
+    assert daemon.predictor is None    # stop still took effect afterwards
