@@ -9,14 +9,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
-from ..config import (
-    NUM_CLASSES,
-    MoEConfig,
-    ResNetConfig,
-    TreeViTConfig,
-    ViTConfig,
-    vit_config,
-)
+from ..config import NUM_CLASSES, MoEConfig, TreeViTConfig, vit_config
 from .resnet import ResNet, resnet, resnet18, resnet34, resnet50, resnet101, resnet152
 from .vit import ViT
 
@@ -56,9 +49,7 @@ def create_model(model_type: str, num_classes: int = NUM_CLASSES, **overrides: A
     """
     mt = model_type.lower()
     if mt in ("vit-base", "vit-large") or mt.startswith("google/vit"):
-        cfg = vit_config(mt, num_classes=num_classes)
-        cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
-        return ViT(cfg)
+        return ViT(vit_config(mt, num_classes=num_classes, **overrides))
     if mt.startswith("resnet"):
         depth = int(mt.removeprefix("resnet"))
         return resnet(depth, num_classes=num_classes, **overrides)

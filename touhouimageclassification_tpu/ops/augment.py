@@ -27,7 +27,6 @@ All functions take images as float32/bfloat16 NHWC in [0, 1].
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

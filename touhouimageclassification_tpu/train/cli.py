@@ -37,6 +37,11 @@ def resolve_normalize_stats(cfg: TrainConfig) -> TrainConfig:
     return dataclasses.replace(cfg, augment=aug)
 
 
+# dims for --tiny CI/CPU smoke runs, shared by the training CLIs
+TINY_VIT_DIMS = dict(image_size=32, patch_size=16, hidden_size=32,
+                     num_layers=1, num_heads=2, mlp_dim=64)
+
+
 def dataset_num_classes(cfg: TrainConfig) -> int:
     """Class count from the training data's class map (what serving will use
     via ``get_class_to_idx`` — the model head must match it)."""

@@ -29,10 +29,9 @@ def main(argv=None, preset: str = "finetune_vit_base"):
 
     vcfg = vit_config(cfg.model_type, num_classes=dataset_num_classes(cfg))
     if args.tiny:
-        vcfg = dataclasses.replace(
-            vcfg, image_size=32, patch_size=16, hidden_size=32, num_layers=1,
-            num_heads=2, mlp_dim=64,
-        )
+        from .cli import TINY_VIT_DIMS
+
+        vcfg = dataclasses.replace(vcfg, **TINY_VIT_DIMS)
     model = ViT(vcfg)
     init_params = None
     if cfg.pretrained and not args.no_pretrained:

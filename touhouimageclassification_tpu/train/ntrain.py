@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..config import PRESETS, VIT_LARGE, vit_config
+from ..config import PRESETS, vit_config
 from ..models.vit import ViT
 from ..utils.pretrained import load_pretrained_backbone
 from .cli import apply_overrides, run, standard_argparser
@@ -40,10 +40,9 @@ def main(argv=None, preset: str = "nvit"):
 
     vcfg = vit_config(cfg.model_type, num_classes=dataset_num_classes(cfg))
     if args.tiny:
-        vcfg = dataclasses.replace(
-            vcfg, image_size=32, patch_size=16, hidden_size=32, num_layers=1,
-            num_heads=2, mlp_dim=64,
-        )
+        from .cli import TINY_VIT_DIMS
+
+        vcfg = dataclasses.replace(vcfg, **TINY_VIT_DIMS)
     if args.remat:
         vcfg = dataclasses.replace(vcfg, remat=True)
     model = ViT(vcfg)

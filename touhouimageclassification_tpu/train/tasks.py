@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MoEConfig, TreeViTConfig
-from ..models import apply_model
 from . import losses
 from .trainer import ClassificationTask
 

@@ -11,8 +11,9 @@ fp16-AMP loops of ``TIC/ViT/finetune.py:93-268`` / ``pretrain.py`` /
   params replicated; XLA emits the gradient all-reduce over ICI; identical
   code on 1 chip, a v5e-8 slice, or the virtual CPU mesh in tests,
 - bf16 compute / f32 params (no GradScaler needed, unlike fp16 AMP),
-- non-finite updates are skipped (``optax.apply_if_finite``) instead of the
-  reference's loss-patching NaN workaround (``finetune.py:181-188``),
+- non-finite updates are skipped via one fused gradient-norm finiteness
+  check instead of the reference's loss-patching NaN workaround
+  (``finetune.py:181-188``),
 - Orbax per-epoch checkpoints with top-k + every-N retention and filesystem
   auto-resume,
 - early stopping on a monitored val metric window (EarlyStopping,
@@ -26,7 +27,7 @@ import json
 import math
 import os
 import time
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

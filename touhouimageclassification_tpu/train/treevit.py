@@ -94,9 +94,9 @@ def main(argv=None):
     tiny_vit = None
     if args.tiny:
         from ..config import ViTConfig
+        from .cli import TINY_VIT_DIMS
 
-        tiny_vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
-                             num_layers=1, num_heads=2, mlp_dim=64)
+        tiny_vit = ViTConfig(**TINY_VIT_DIMS)
     tree_cfg = TreeViTConfig(
         num_categories=num_categories,
         num_classes=len(index.classes),

@@ -7,8 +7,6 @@ converts a reference ``.pth`` en route via ``utils/convert``.
 """
 from __future__ import annotations
 
-import os
-
 
 def extract(input_path: str, output_path: str, model_type: str | None = None,
             num_classes: int = 120) -> str:
