@@ -47,7 +47,7 @@ def test_vit_grads_finite():
             -jax.nn.log_softmax(logits)[jnp.arange(2), y]
         )
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(jnp.isfinite(leaf).all() for leaf in flat)
     # every parameter receives gradient signal somewhere

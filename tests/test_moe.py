@@ -137,7 +137,7 @@ def test_treevit_forward_and_grads():
         c, ch = model.apply(p, x)
         return jnp.sum(c ** 2) + jnp.sum(ch ** 2)
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
 
 
