@@ -125,6 +125,11 @@ int decode_buffer(const uint8_t* data, size_t len, int out_h, int out_w,
                   uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Constructed BEFORE setjmp: after a longjmp out of jpeg_read_scanlines the
+  // early-return path still runs these destructors, so corrupt JPEGs can't
+  // leak the decode buffers in a long-running training loader.
+  std::vector<uint8_t> decoded;
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -161,8 +166,8 @@ int decode_buffer(const uint8_t* data, size_t len, int out_h, int out_w,
   const int sw = cinfo.output_width;
   const int sh = cinfo.output_height;
   const int comps = cinfo.output_components;
-  std::vector<uint8_t> decoded(static_cast<size_t>(sw) * sh * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(sw) * comps);
+  decoded.resize(static_cast<size_t>(sw) * sh * 3);
+  row.resize(static_cast<size_t>(sw) * comps);
   JSAMPROW rowptr = row.data();
   for (int y = 0; y < sh; ++y) {
     jpeg_read_scanlines(&cinfo, &rowptr, 1);

@@ -203,10 +203,17 @@ _PAGE = """<!doctype html>
 def handler(request: Request) -> Response:
     if request.path.startswith("/img/"):
         rel = request.path[len("/img/"):]
-        full = os.path.normpath(os.path.join(DATA_DIR, rel))
-        if not full.startswith(os.path.abspath(DATA_DIR) + os.sep) and \
-           os.path.abspath(DATA_DIR) != os.path.dirname(full):
-            full = os.path.join(os.path.abspath(DATA_DIR), os.path.basename(rel))
+        # canonicalize both sides, then require containment — works for
+        # relative --data-dir values too (absolute-vs-normpath mixing used
+        # to 404 every nested candidate under a relative data dir)
+        base = os.path.abspath(DATA_DIR)
+        full = os.path.abspath(os.path.join(base, rel))
+        try:
+            inside = os.path.commonpath([full, base]) == base
+        except ValueError:
+            inside = False
+        if not inside:
+            return Response("forbidden", status="403 Forbidden")
         if os.path.isfile(full):
             ctype = mimetypes.guess_type(full.replace(".pending", ".jpg")
                                          .replace(".processing", ".jpg")
@@ -254,7 +261,7 @@ def handler(request: Request) -> Response:
             else:
                 break
     if not queue:
-        resp = Response("<h2>所有图片审查完成！(All images reviewed!)</h2>")
+        resp = Response("<h2>Review queue drained — nothing left to label.</h2>")
         resp.set_cookie("session_uid", uid)
         return resp
     label, img_id = queue[0]

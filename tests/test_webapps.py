@@ -169,7 +169,7 @@ def test_reviewer_drains_to_done(reviewer_env):
     for _ in range(10):
         _s, headers, out = _wsgi_call(rapp.app, cookie=cookie)
         cookie = _cookie_of(headers) or cookie
-        if "所有图片审查完成".encode() in out:
+        if b"Review queue drained" in out:
             break
         body, ctype = _multipart({"action": "approve"}, [])
         _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
@@ -192,8 +192,25 @@ def test_reviewer_image_route(reviewer_env):
     status, _h, out = _wsgi_call(rapp.app, path="/img/alice/0.jpg")
     assert status == "200 OK"
     assert out[:3] == b"\xff\xd8\xff"  # JPEG magic
+
+
+def test_reviewer_image_route_blocks_traversal(reviewer_env):
+    rapp, data = reviewer_env
+    status, _h, _out = _wsgi_call(rapp.app, path="/img/../../etc/passwd")
+    assert status.startswith("403")
+
+
+def test_reviewer_image_route_relative_data_dir(reviewer_env, monkeypatch):
+    """A relative --data-dir must still serve nested candidates (the old
+    normpath/abspath mix 404'd every one of them)."""
+    rapp, data = reviewer_env
+    monkeypatch.chdir(os.path.dirname(data))
+    monkeypatch.setattr(rapp, "DATA_DIR", os.path.basename(data))
+    status, _h, out = _wsgi_call(rapp.app, path="/img/alice/0.jpg")
+    assert status == "200 OK"
+    assert out[:3] == b"\xff\xd8\xff"
     status, _h, _o = _wsgi_call(rapp.app, path="/img/alice/../../etc/passwd")
-    assert status == "404 Not Found"
+    assert status.startswith("403")
 
 
 def test_daemon_predict_stop_race(monkeypatch):

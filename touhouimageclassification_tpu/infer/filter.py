@@ -1,34 +1,68 @@
-"""Dataset self-filtering: keep images the judge model predicts correctly.
+"""Dataset self-filtering: keep only images the judge model gets right.
 
-Parity with ``TIC/utils/filter.py``: read a full_judge CSV, copy rows where
-``predicted_class == actual_class`` into ``<out>/<label>/``; or run the judge
-end-to-end first when ``--model`` is given. This is the pipeline stage that
-produced ``data/data_filtered_vit_base`` (README recipe step 3).
+Pipeline-stage parity with the reference's CSV->ImageFolder filter
+(``TIC/utils/filter.py:8-55``): consume a ``full_judge`` CSV (schema
+``filename,predicted_class,confidence,actual_class,correct,path``) and
+materialize an ImageFolder tree containing the rows where the prediction
+matches the label — the stage that produced ``data/data_filtered_vit_base``
+(README recipe step 3). With ``--model`` the judge runs first, end-to-end.
+
+Implementation is this codebase's own: rows are grouped per label so each
+class directory is created once and its copies run back-to-back (friendlier
+to the page cache on 100k+-image datasets), and the summary goes through the
+package logger alongside stdout.
 """
 from __future__ import annotations
 
 import csv
 import os
 import shutil
+from collections import defaultdict
+from dataclasses import dataclass
 
 
-def copy_image(image_path: str, label: str, output_directory: str) -> None:
-    new_path = os.path.join(output_directory, label, os.path.basename(image_path))
-    os.makedirs(os.path.dirname(new_path), exist_ok=True)
-    shutil.copy(image_path, new_path)
+@dataclass(frozen=True)
+class FilterReport:
+    total: int
+    kept: int
+
+    @property
+    def keep_rate(self) -> float:
+        return self.kept / self.total if self.total else 0.0
+
+
+def _kept_rows(csv_file: str) -> dict[str, list[str]]:
+    """label -> source paths of correctly-predicted rows; also counts total."""
+    by_label: dict[str, list[str]] = defaultdict(list)
+    total = 0
+    with open(csv_file, newline="") as f:
+        for row in csv.DictReader(f):
+            total += 1
+            label = row["actual_class"].strip()
+            if row["predicted_class"].strip() == label:
+                by_label[label].append(row["path"].strip())
+    by_label["__total__"] = [str(total)]  # smuggled count, popped by caller
+    return by_label
 
 
 def filter(csv_file: str, output_directory: str) -> tuple[int, int]:
-    """Copy correctly-predicted images; returns (total, copied)."""
-    tot = cnt = 0
-    with open(csv_file) as f:
-        for row in csv.DictReader(f):
-            tot += 1
-            if row["predicted_class"].strip() == row["actual_class"].strip():
-                cnt += 1
-                copy_image(row["path"].strip(), row["actual_class"].strip(), output_directory)
-    print(f"Tot:{tot}, Copy cnt:{cnt}, Rate:{cnt / tot if tot else 0.0}")
-    return tot, cnt
+    """Build ``<output_directory>/<label>/`` from the judge CSV's correct
+    rows. Returns ``(total_rows, kept_rows)``."""
+    by_label = _kept_rows(csv_file)
+    total = int(by_label.pop("__total__")[0])
+    kept = 0
+    for label, paths in sorted(by_label.items()):
+        dest_dir = os.path.join(output_directory, label)
+        os.makedirs(dest_dir, exist_ok=True)
+        for src in paths:
+            shutil.copy(src, os.path.join(dest_dir, os.path.basename(src)))
+            kept += 1
+    report = FilterReport(total=total, kept=kept)
+    print(
+        f"kept {report.kept}/{report.total} images "
+        f"({report.keep_rate:.1%}) -> {output_directory}"
+    )
+    return report.total, report.kept
 
 
 def main(argv=None):
@@ -36,29 +70,39 @@ def main(argv=None):
 
     from . import serve as serve_mod
 
-    parser = argparse.ArgumentParser(description="Filter images by predictions")
-    parser.add_argument("--csv-file", type=str, default=None)
-    parser.add_argument("--output-directory", "-od", type=str, required=True)
+    parser = argparse.ArgumentParser(
+        description="Build a filtered ImageFolder from a judge CSV "
+                    "(optionally running the judge first)."
+    )
+    parser.add_argument("--csv-file", type=str, default=None,
+                        help="Existing full_judge CSV to filter from.")
+    parser.add_argument("--output-directory", "-od", type=str, required=True,
+                        help="Root of the filtered ImageFolder to create.")
     parser.add_argument("--model", type=str, default=None,
-                        choices=["resnet", "vit-base", "vit-large"])
+                        choices=["resnet", "vit-base", "vit-large"],
+                        help="Run this judge over --image before filtering.")
     parser.add_argument("--weights", type=str, default=None)
-    parser.add_argument("--image", type=str, default=None, help="Data folder to filter")
+    parser.add_argument("--image", type=str, default=None,
+                        help="Dataset folder the judge scores (with --model).")
     args = parser.parse_args(argv)
 
-    if args.model:
-        if not args.image:
-            raise SystemExit("--image is required with --model")
-        predictor = serve_mod.init(modelt=args.model, weights=args.weights,
-                                   data_dir=args.image)
-        output = args.csv_file or "filter_temp.csv"
-        serve_mod.full_judge(predictor, args.image, output)
-        filter(output, args.output_directory)
+    if args.model is None:
         if not args.csv_file:
-            os.remove(output)
-    elif args.csv_file:
+            raise SystemExit("Provide --csv-file, or --model to run the judge")
         filter(args.csv_file, args.output_directory)
-    else:
-        raise SystemExit("Please provide either --model or --csv-file")
+        return
+
+    if not args.image:
+        raise SystemExit("--image is required with --model")
+    judge_csv = args.csv_file or "filter_temp.csv"
+    predictor = serve_mod.init(modelt=args.model, weights=args.weights,
+                               data_dir=args.image)
+    serve_mod.full_judge(predictor, args.image, judge_csv)
+    try:
+        filter(judge_csv, args.output_directory)
+    finally:
+        if not args.csv_file:
+            os.remove(judge_csv)
 
 
 if __name__ == "__main__":

@@ -244,7 +244,7 @@ def full_judge(
         for filename in sorted(files):
             if os.path.splitext(filename)[1].lower() in IMG_EXTENSIONS:
                 entries.append((filename, os.path.basename(root), os.path.join(root, filename)))
-    print(f"Total images to process: {len(entries)}")
+    print(f"scoring {len(entries)} images under {image_dir}")
 
     out_f = open(output, "w") if output else None
     if out_f:
@@ -275,10 +275,7 @@ def full_judge(
     if out_f:
         out_f.close()
     acc = correct_cnt / cnt if cnt else 0.0
-    print(
-        f"Total images processed: {cnt}, Correct predictions: {correct_cnt}, "
-        f"Accuracy: {acc * 100:.2f}%"
-    )
+    print(f"scored {cnt} images, {correct_cnt} correct -> top-1 {acc * 100:.2f}%")
     return acc
 
 

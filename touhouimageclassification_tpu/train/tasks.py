@@ -77,7 +77,11 @@ class TreeSonsTask(_TreeTaskBase):
     trains on its own subset simultaneously."""
 
     def forward(self, model, variables, images, batch, train, rngs):
-        route = self.class_to_category[batch["label"]]
+        # Teacher-forced routing only while TRAINING; eval goes through the
+        # root's real top-k routing so the stage's val_loss/val_acc (which
+        # drive early stopping and checkpoint top-k) measure actual
+        # inference behavior, not teacher-routed accuracy.
+        route = self.class_to_category[batch["label"]] if train else None
         out = model.apply(
             variables, images, deterministic=not train, route_labels=route,
             rngs=rngs if train else None,

@@ -188,7 +188,7 @@ class Trainer:
 
         def train_step(state: TrainState, batch):
             key = jax.random.fold_in(base_key, state.step)
-            k_aug, k_mix, k_drop = jax.random.split(key, 3)
+            k_aug, k_mix, k_drop, k_gate = jax.random.split(key, 4)
             images = batch["image"].astype(jnp.float32) / 255.0
             images = augment_fn(k_aug, images)
             labels = jax.nn.one_hot(batch["label"], num_classes)
@@ -204,7 +204,7 @@ class Trainer:
                     images,
                     batch,
                     True,
-                    {"dropout": k_drop, "gate": k_drop},
+                    {"dropout": k_drop, "gate": k_gate},
                 )
                 loss, aux = task.loss(outputs, labels)
                 return loss, (new_ms, aux)
@@ -254,7 +254,10 @@ class Trainer:
         eval_transform = self.eval_transform
         num_classes = self.num_classes
 
-        def eval_step(state: TrainState, batch):
+        def eval_step(state: TrainState, batch, totals):
+            """Accumulates (loss_sum, correct, total) ON DEVICE — the loop
+            fetches once at the end instead of once per batch (each fetch is
+            a full RTT on the tunneled chip)."""
             images = eval_transform(batch["image"].astype(jnp.float32) / 255.0)
             outputs, _ = task.forward(
                 model, {"params": state.params, **state.model_state}, images,
@@ -267,9 +270,9 @@ class Trainer:
             per_sample = -logp[jnp.arange(labels.shape[0]), labels]
             loss_sum = jnp.sum(per_sample * mask)
             correct, total = losses.accuracy(logits, labels, mask)
-            return loss_sum, correct, total
+            return (totals[0] + loss_sum, totals[1] + correct, totals[2] + total)
 
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     # loops
@@ -303,14 +306,15 @@ class Trainer:
         eval_step = getattr(self, "_eval_step", None)
         if eval_step is None:
             eval_step = self._eval_step = self._make_eval_step()
-        loss_sum, correct, total = 0.0, 0, 0
+        totals = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32))
         for i, batch in enumerate(device_put_iterator(iter(loader), self._batch_sharding)):
             if limit and i >= limit:
                 break
-            ls, c, t = eval_step(state, batch)
-            loss_sum += float(ls)
-            correct += int(c)
-            total += int(t)
+            totals = eval_step(state, batch, totals)
+        # single host fetch for the whole eval pass
+        loss_sum, correct, total = (float(totals[0]), int(totals[1]),
+                                    int(totals[2]))
         if total == 0:
             return {"val_loss": float("nan"), "val_acc": 0.0}
         return {"val_loss": loss_sum / total, "val_acc": correct / total}
