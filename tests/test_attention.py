@@ -70,6 +70,76 @@ def test_vit_with_flash_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
 
 
+def _packed_qkv(b=2, n=197, c=256, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(jax.random.normal(k, (b, n, c), dtype) for k in ks)
+
+
+def test_packed_forward_matches_reference_f32():
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention, packed_reference_attention)
+    q, k, v = _packed_qkv()
+    out = packed_attention(q, k, v, 4)
+    ref = packed_reference_attention(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_packed_forward_matches_reference_bf16():
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention, packed_reference_attention)
+    q, k, v = _packed_qkv(dtype=jnp.bfloat16)
+    out = packed_attention(q, k, v, 4).astype(jnp.float32)
+    ref = packed_reference_attention(q, k, v, 4).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_packed_gradients_match_reference():
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention, packed_reference_attention)
+    q, k, v = _packed_qkv(b=1, n=67, c=64, seed=3)
+    w = jax.random.normal(jax.random.key(9), (67, 64))
+
+    def f(attn):
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v, 2) * w)  # non-symmetric cotangent
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(f(packed_attention), f(packed_reference_attention)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_vit_with_fused_attention_matches_xla(monkeypatch):
+    from touhouimageclassification_tpu.config import ViTConfig
+    from touhouimageclassification_tpu.models.vit import ViT
+
+    # force the interpreted Pallas kernel through the model (off-TPU the
+    # 'fused' impl otherwise dispatches to its XLA fallback)
+    monkeypatch.setenv("TIC_PALLAS_INTERPRET", "1")
+
+    base = dict(image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                num_heads=2, mlp_dim=128, num_classes=5)
+    m_xla = ViT(ViTConfig(**base, attention_impl="xla"), compute_dtype="float32")
+    m_fused = ViT(ViTConfig(**base, attention_impl="fused"), compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = m_xla.init(jax.random.key(1), x)
+    a = m_xla.apply(params, x)
+    b = m_fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+    # gradient parity through the full model (exercises the bwd kernel)
+    def loss(m, params):
+        return jnp.sum(m.apply(params, x) ** 2)
+
+    ga = jax.grad(lambda p: loss(m_xla, p))(params)
+    gb = jax.grad(lambda p: loss(m_fused, p))(params)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_non_multiple_head_counts():
     """Head counts not divisible by the head-group size (e.g. 6) must still
     compute every head (regression: groups previously truncated)."""

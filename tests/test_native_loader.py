@@ -69,3 +69,38 @@ def test_host_loader_native_backend(tmp_path):
     mad = np.abs(batches[0]["image"].astype(np.int16)
                  - pil_batches[0]["image"].astype(np.int16)).mean()
     assert mad < 14.0
+
+
+def test_canvas_cache_fills_and_serves(tmp_path):
+    """Epoch 1 decodes + fills the memmap; epoch 2 must serve identical
+    batches from the cache without touching the decoder."""
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=4, size=40)
+    index = scan_image_folder(root)
+    loader = HostImageLoader(index, batch_size=4, canvas=(32, 32), shuffle=False,
+                             drop_last=False, canvas_cache=True)
+    epoch1 = [b["image"].copy() for b in loader]
+    assert loader._cache.hit_rate() == 1.0
+
+    # break the decoder: cached epochs must never call it
+    loader._decode_into = None
+    epoch2 = [b["image"].copy() for b in loader]
+    for a, b in zip(epoch1, epoch2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_canvas_cache_invalidated_on_dataset_change(tmp_path):
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root)
+    l1 = HostImageLoader(index, batch_size=3, canvas=(32, 32), shuffle=False,
+                         drop_last=False, canvas_cache=True)
+    list(l1)
+    assert l1._cache.hit_rate() == 1.0
+    # grow the dataset -> fingerprint changes -> fresh, empty cache
+    make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=5, size=40, seed=7)
+    index2 = scan_image_folder(root)
+    l2 = HostImageLoader(index2, batch_size=5, canvas=(32, 32), shuffle=False,
+                         drop_last=False, canvas_cache=True)
+    assert l2._cache.hit_rate() == 0.0
+    batches = list(l2)
+    assert l2._cache.hit_rate() == 1.0
+    assert all(b["image"].any() for b in batches)

@@ -95,7 +95,9 @@ def test_lang_remap(tmp_path, monkeypatch):
     monkeypatch.setattr(web_runtime, "label_lang_map", {})
     web_runtime.prepare_label_lang_map()
     assert web_runtime.remap_label_lang("博丽灵梦", "EN") == "Hakurei Reimu"
-    assert web_runtime.remap_label_lang("博丽灵梦", "JP") == "博麗　霊夢"
+    # the full lang map carries alias rows for the same CN key; like the
+    # reference loader (web/runtime.py:215-218), the LAST row wins
+    assert web_runtime.remap_label_lang("博丽灵梦", "JP") == "博麗　靈夢"
     # unknown label passes through
     assert web_runtime.remap_label_lang("nobody", "EN") == "nobody"
 

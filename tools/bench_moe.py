@@ -1,0 +1,64 @@
+"""ResMoE routing bench on the real chip: dense (reference parity) vs
+capacity-based sparse dispatch, single chip (EP=1).
+
+Substantiates the "sparse routing ~= K/E of dense expert FLOPs" claim
+(``ops/moe_dispatch.py``) with a measured number (VERDICT r1 weak #10).
+Experts are ViT-Small-ish so 8 of them + gate fit comfortably; the ratio is
+what matters, not the absolute rate.
+"""
+import json, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fetch(x):
+    import numpy as np
+    return float(np.asarray(x).sum())
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from touhouimageclassification_tpu.config import MoEConfig, ViTConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+
+    B, REPS = 64, 8
+    expert = ViTConfig(image_size=224, patch_size=16, hidden_size=384,
+                       num_layers=6, num_heads=6, mlp_dim=1536,
+                       num_classes=120)
+    x0 = jax.random.normal(jax.random.key(0), (B, 224, 224, 3))
+
+    results = {}
+    for routing in ("dense", "sparse"):
+        cfg = MoEConfig(num_experts=8, top_k=2, routing=routing,
+                        capacity_factor=1.25, expert_vit=expert)
+        model = MoEClassifier(cfg)
+        params = model.init(jax.random.key(1), x0)["params"]
+
+        @jax.jit
+        def run(params, x):
+            def body(_, x):
+                logits, _gate, _idx = model.apply({"params": params}, x,
+                                                  deterministic=True)
+                return x + jnp.mean(logits) * 1e-6
+            return jax.lax.fori_loop(0, REPS, body, x)
+
+        _fetch(run(params, x0))  # compile
+        best = float("inf")
+        for i in range(1, 4):
+            x = jax.random.normal(jax.random.key(i), (B, 224, 224, 3))
+            _fetch(x)
+            t0 = time.perf_counter(); _fetch(run(params, x))
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        results[routing] = best * 1000
+        print(json.dumps({"routing": routing,
+                          "fwd_ms_per_batch64": round(best * 1000, 2)}),
+              flush=True)
+    print(json.dumps({
+        "metric": "moe_sparse_speedup_vs_dense",
+        "value": round(results["dense"] / results["sparse"], 2),
+        "unit": "x", "note": "8 experts top-2; FLOP-bound ceiling 4x",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

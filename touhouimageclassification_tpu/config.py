@@ -113,8 +113,12 @@ class ViTConfig:
     dropout_rate: float = 0.0
     attention_dropout_rate: float = 0.0
     layer_norm_eps: float = 1e-12   # HF ViT default
-    # 'flash' = Pallas kernel, 'xla' = plain dot-product (fallback/reference)
-    attention_impl: str = "xla"
+    # 'fused' (default) = packed-layout Pallas kernel on TPU (fwd+bwd kernels,
+    # no reshape glue; measured 290 vs 242 img/s on the ViT-L train step) with
+    # an XLA fallback off-TPU and when attention_dropout_rate > 0;
+    # 'flash' = (B,N,H,D) Pallas kernel, 'xla' = plain dot-product,
+    # 'xla_remat' = XLA with recomputed-backward attention
+    attention_impl: str = "fused"
     # fused Pallas patch-embed kernel toggle
     patch_embed_impl: str = "xla"
     # rematerialize encoder layers in backward (jax.checkpoint): trades ~30%
@@ -123,7 +127,9 @@ class ViTConfig:
     remat: bool = False
     # remat policy: 'full' recomputes the whole layer; 'dots' saves matmul
     # outputs and recomputes only elementwise ops (cheap recompute, most of
-    # the memory win)
+    # the memory win). KNOWN TOOLCHAIN BUG: 'dots' crashes the axon remote
+    # compile helper (HTTP 500) at every batch size — models.vit warns and
+    # falls back to 'full' on that backend (perf ledger, CLAUDE.md).
     remat_policy: str = "full"
     # 'exact' = erf GELU (HF ViT parity — required to serve converted
     # checkpoints bit-true); 'tanh' = cheaper approximation (exact erf
@@ -264,6 +270,10 @@ class TrainConfig:
     test_dir: str = TEST_DIR
     train_split: float = 0.8
     seed: int = 42                      # L.seed_everything(42), ntrain.py:186
+    # cache decoded uint8 canvases in a memmap under the dataset dir so only
+    # epoch 1 pays JPEG decode (lossless: augmentation is on-device; costs
+    # ~N*canvas²*3 bytes of disk — ~26 GB for the full 132k corpus)
+    canvas_cache: bool = False
     # 'imagenet' = the fixed ImageNet statistics every ntrain recipe uses
     # (ntrain.py:101); 'dataset' = per-dataset mean/std computed and cached
     # like the hand-rolled paths (preprocess.py get_transforms). The value

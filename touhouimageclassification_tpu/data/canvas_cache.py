@@ -1,0 +1,96 @@
+"""Decoded-canvas cache: pay JPEG decode once, stream uint8 canvases after.
+
+The host decodes images to a FIXED uint8 canvas and all randomness
+(RandomResizedCrop, jitter, ...) runs on device (``ops/augment.py``), so the
+canvas for a given source file is deterministic — caching it is lossless for
+training semantics. That turns every epoch after the first from
+decode-bound (~8 ms/image/core for Pixiv-scale JPEGs) into a sequential
+memmap read (~0.2 MB/image), which one host core sustains far beyond the
+device rate.
+
+Layout under ``<dataset>/.tic_canvas_cache/``: per canvas size a raw uint8
+memmap ``<h>x<w>.data`` of shape (N, h, w, 3), a ``.done`` byte map marking
+which slots hold decoded pixels (the cache fills lazily while epoch 1
+iterates), and a ``.json`` carrying a dataset fingerprint (file names +
+sizes) that invalidates the cache when the dataset changes.
+
+Space: ~N * h * w * 3 bytes (the reference's 132k-image corpus at 256² is
+~26 GB) — a deliberate disk-for-decode trade, off by default
+(``TrainConfig.canvas_cache``).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+from .folder import ImageFolderIndex
+
+
+def _fingerprint(index: ImageFolderIndex) -> str:
+    h = hashlib.sha1()
+    root = index.root
+    for p in index.paths:
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1
+        h.update(f"{os.path.relpath(p, root)}:{size}\n".encode())
+    return h.hexdigest()
+
+
+class CanvasCache:
+    def __init__(self, index: ImageFolderIndex, canvas: tuple[int, int],
+                 cache_dir: str | None = None):
+        self.canvas = (int(canvas[0]), int(canvas[1]))
+        n = len(index)
+        root = cache_dir or os.path.join(index.root, ".tic_canvas_cache")
+        os.makedirs(root, exist_ok=True)
+        tag = f"{self.canvas[0]}x{self.canvas[1]}"
+        self._data_path = os.path.join(root, f"{tag}.data")
+        self._done_path = os.path.join(root, f"{tag}.done")
+        meta_path = os.path.join(root, f"{tag}.json")
+
+        fp = _fingerprint(index)
+        meta = None
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                meta = None
+        if (meta is None or meta.get("fingerprint") != fp
+                or meta.get("n") != n):
+            for p in (self._data_path, self._done_path):
+                if os.path.exists(p):
+                    os.remove(p)
+            with open(meta_path, "w") as f:
+                json.dump({"fingerprint": fp, "n": n,
+                           "canvas": list(self.canvas)}, f)
+
+        shape = (n, *self.canvas, 3)
+        mode = "r+" if os.path.exists(self._data_path) else "w+"
+        self.data = np.memmap(self._data_path, dtype=np.uint8, mode=mode,
+                              shape=shape)
+        mode = "r+" if os.path.exists(self._done_path) else "w+"
+        self.done = np.memmap(self._done_path, dtype=np.uint8, mode=mode,
+                              shape=(n,))
+
+    def hit_rate(self) -> float:
+        return float(np.mean(self.done != 0))
+
+    def fetch(self, ids: np.ndarray, out: np.ndarray) -> np.ndarray:
+        """Copy cached canvases for ``ids`` into ``out`` rows; returns the
+        boolean hit mask (False rows still need decoding)."""
+        hit = self.done[ids] != 0
+        if hit.any():
+            out[np.nonzero(hit)[0]] = self.data[ids[hit]]
+        return hit
+
+    def store(self, ids: np.ndarray, images: np.ndarray) -> None:
+        if len(ids) == 0:
+            return
+        self.data[ids] = images
+        self.done[ids] = 1

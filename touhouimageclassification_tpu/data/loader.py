@@ -62,6 +62,7 @@ class HostImageLoader:
         prefetch_batches: int = 2,
         loop: bool = False,
         decode_backend: str = "auto",
+        canvas_cache: bool | str = False,
     ):
         self.index = index
         self.subset = subset if subset is not None else np.arange(len(index))
@@ -82,6 +83,14 @@ class HostImageLoader:
                 self._native = native_loader
             elif decode_backend == "native":
                 raise RuntimeError("native decode backend requested but unavailable")
+        self._cache = None
+        if canvas_cache:
+            from .canvas_cache import CanvasCache
+
+            self._cache = CanvasCache(
+                index, self.canvas,
+                canvas_cache if isinstance(canvas_cache, str) else None,
+            )
 
     def __len__(self) -> int:
         n = len(self.subset)
@@ -99,27 +108,43 @@ class HostImageLoader:
             order = order[rng.permutation(len(order))]
         return order
 
+    def _decode_into(self, paths: list[str], out: np.ndarray,
+                     pool: ThreadPoolExecutor) -> None:
+        """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3)."""
+        jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        if self._native is not None and jpeg_only:
+            # one C call decodes the whole batch in a native thread pool
+            _, failures = self._native.decode_batch(
+                paths, self.canvas, out=out, nthreads=self.num_threads
+            )
+            if failures:
+                # fall back per-file for the zeroed slots
+                for j, p in enumerate(paths):
+                    if not out[j].any():
+                        out[j] = decode_image(p, self.canvas)
+        else:
+            imgs = list(pool.map(lambda p: decode_image(p, self.canvas), paths))
+            out[:] = np.stack(imgs)
+
     def _make_batch(self, ids: np.ndarray, pool: ThreadPoolExecutor) -> dict:
-        paths = [self.index.paths[i] for i in ids]
         n = len(ids)
         b = self.batch_size
         image = np.zeros((b, *self.canvas, 3), np.uint8)
         label = np.zeros((b,), np.int32)
         mask = np.zeros((b,), bool)
-        jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
-        if self._native is not None and jpeg_only:
-            # one C call decodes the whole batch in a native thread pool
-            _, failures = self._native.decode_batch(
-                paths, self.canvas, out=image[:n], nthreads=self.num_threads
-            )
-            if failures:
-                # fall back per-file for the zeroed slots
-                for j, p in enumerate(paths):
-                    if not image[j].any():
-                        image[j] = decode_image(p, self.canvas)
+        ids = np.asarray(ids)
+        if self._cache is not None:
+            hit = self._cache.fetch(ids, image[:n])
+            miss = np.nonzero(~hit)[0]
+            if miss.size:
+                decoded = np.empty((miss.size, *self.canvas, 3), np.uint8)
+                self._decode_into([self.index.paths[i] for i in ids[miss]],
+                                  decoded, pool)
+                image[miss] = decoded
+                self._cache.store(ids[miss], decoded)
         else:
-            imgs = list(pool.map(lambda p: decode_image(p, self.canvas), paths))
-            image[:n] = np.stack(imgs)
+            self._decode_into([self.index.paths[i] for i in ids], image[:n],
+                              pool)
         label[:n] = self.index.labels[ids]
         mask[:n] = True
         return {"image": image, "label": label, "mask": mask}

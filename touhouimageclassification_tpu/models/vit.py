@@ -102,6 +102,20 @@ class Attention(nn.Module):
         b, n, _ = x.shape
 
         qkv = nn.Dense(3 * d, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+
+        if cfg.attention_impl == "fused" and cfg.attention_dropout_rate == 0.0:
+            # the packed kernel consumes the fused-QKV layout directly —
+            # contiguous lane slices, no (B, N, H, D) reshape/transpose glue.
+            # (attention dropout falls through to the XLA path below; every
+            # reference config uses rate 0.0.)
+            from ..ops.attention import packed_attention_auto
+
+            out = packed_attention_auto(
+                qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:], nh
+            )                                                 # (B, N, C)
+            return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                            name="out")(out)
+
         qkv = qkv.reshape(b, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, nh, hd)
 
@@ -225,10 +239,19 @@ class ViT(nn.Module):
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
 
         if cfg.remat:
-            policy = (
-                jax.checkpoint_policies.dots_saveable
-                if cfg.remat_policy == "dots" else None
-            )
+            use_dots = cfg.remat_policy == "dots"
+            if use_dots and jax.default_backend() == "axon":
+                # the axon remote compile helper 500s on dots_saveable at
+                # every batch size (documented toolchain bug); 'full' remat
+                # is the working configuration on that backend
+                import warnings
+
+                warnings.warn(
+                    "remat_policy='dots' crashes the axon remote compiler; "
+                    "falling back to remat_policy='full'", stacklevel=2,
+                )
+                use_dots = False
+            policy = jax.checkpoint_policies.dots_saveable if use_dots else None
             layer_cls = nn.remat(EncoderLayer, static_argnums=(2,), policy=policy)
         else:
             layer_cls = EncoderLayer

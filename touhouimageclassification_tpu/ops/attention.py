@@ -145,3 +145,164 @@ def flash_attention(q, k, v):
     if pltpu_compat.should_interpret():
         return _own_flash_attention(q, k, v)
     return _tpu_builtin_flash(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout fused attention (the bespoke short-sequence kernel)
+# ---------------------------------------------------------------------------
+#
+# The kernels above (and the upstream TPU flash kernel) all take
+# (B, N, H, D) tensors, which forces transpose+pad layout glue around every
+# call — measured at a large fraction of their cost at ViT's tiny N=197
+# (CLAUDE.md perf ledger). This kernel instead consumes the EXACT layout the
+# fused QKV projection produces — (B, N, C) with heads as contiguous
+# 64-lane slices of C — so there is no layout glue at all:
+#
+# - grid over images; per step the full (N, C) q/k/v slabs sit in VMEM
+#   (ViT-L: 3 x 512 KB), the (N, N) f32 logits never touch HBM,
+# - heads are static lane slices, each head one (N,D)x(D,N) MXU matmul +
+#   f32 softmax + (N,N)x(N,D) PV matmul; logical shapes stay at N=197
+#   (Mosaic masks the physical tile padding),
+# - backward is a second Pallas kernel over the same layout: recomputes the
+#   (N, N) probabilities in VMEM and emits dq/dk/dv with 5 matmuls/head,
+#   instead of the XLA-recompute VJP that materializes probabilities to HBM.
+#
+# Reference counterpart: HF torch delegates to cuDNN fused attention
+# (SURVEY §2 native-obligation note).
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
+                       scale: float):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]          # (N, C) each
+    hd = q.shape[-1] // num_heads
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                    # (N, N) f32, VMEM-only
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                       num_heads: int, scale: float):
+    q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+    hd = q.shape[-1] // num_heads
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # (N, N) f32
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (N, N)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+        ds_c = ds.astype(kh.dtype)
+        p_c = p.astype(gh.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds_c, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dks.append(jax.lax.dot_general(
+            ds_c, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dvs.append(jax.lax.dot_general(
+            p_c, gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+def _packed_forward(q, k, v, num_heads):
+    b, n, c = q.shape
+    scale = (c // num_heads) ** -0.5
+    kernel = functools.partial(_packed_fwd_kernel, num_heads=num_heads,
+                               scale=scale)
+    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu_compat.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
+        interpret=pltpu_compat.should_interpret(),
+    )(q, k, v)
+
+
+def _packed_backward(q, k, v, g, num_heads):
+    b, n, c = q.shape
+    scale = (c // num_heads) ** -0.5
+    kernel = functools.partial(_packed_bwd_kernel, num_heads=num_heads,
+                               scale=scale)
+    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu_compat.VMEM)
+    shape = jax.ShapeDtypeStruct((b, n, c), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=pltpu_compat.should_interpret(),
+    )(q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def packed_attention(q, k, v, num_heads: int):
+    """Fused multi-head attention on packed (B, N, C) tensors, heads as
+    contiguous C-slices (the fused-QKV layout). Returns (B, N, C)."""
+    return _packed_forward(q, k, v, num_heads)
+
+
+def _packed_fwd_rule(q, k, v, num_heads):
+    return _packed_forward(q, k, v, num_heads), (q, k, v)
+
+
+def _packed_bwd_rule(num_heads, res, g):
+    q, k, v = res
+    return _packed_backward(q, k, v, g, num_heads)
+
+
+packed_attention.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+def packed_reference_attention(q, k, v, num_heads: int):
+    """XLA oracle for the packed layout (numerics tests + CPU fallback)."""
+    b, n, c = q.shape
+    hd = c // num_heads
+    split = lambda x: x.reshape(b, n, num_heads, hd)
+    out = _reference_attention(split(q), split(k), split(v))
+    return out.reshape(b, n, c)
+
+
+def packed_attention_auto(q, k, v, num_heads: int):
+    """Production dispatch for ``attention_impl='fused'``: the Pallas kernel
+    on TPU backends; the mathematically-identical XLA path elsewhere
+    (interpreted Pallas is a numerics-testing device, far too slow for real
+    CPU inference). ``TIC_PALLAS_INTERPRET=1`` forces the interpreted kernel
+    so tests can drive the kernel through the full model off-TPU."""
+    import os
+
+    if (pltpu_compat.should_interpret()
+            and os.environ.get("TIC_PALLAS_INTERPRET") != "1"):
+        return packed_reference_attention(q, k, v, num_heads)
+    return packed_attention(q, k, v, num_heads)

@@ -69,9 +69,10 @@ def build_loaders(cfg: TrainConfig, out_size: tuple[int, int]):
     canvas = canvas_for(cfg, out_size)
     train = HostImageLoader(index, tr_idx, batch_size=cfg.global_batch_size,
                             canvas=canvas, shuffle=True, seed=cfg.seed,
-                            drop_last=True)
+                            drop_last=True, canvas_cache=cfg.canvas_cache)
     val = HostImageLoader(index, va_idx, batch_size=cfg.global_batch_size,
-                          canvas=out_size, shuffle=False, drop_last=False)
+                          canvas=out_size, shuffle=False, drop_last=False,
+                          canvas_cache=cfg.canvas_cache)
     test = None
     if cfg.test_dir and os.path.isdir(cfg.test_dir):
         t_index = scan_image_folder(cfg.test_dir)
