@@ -49,6 +49,27 @@ def test_vit_logit_parity():
     np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("variant", ["poly", "fast"])
+def test_vit_logit_parity_fitted_gelu(variant):
+    """The fitted GELUs serve converted torch checkpoints at the SAME
+    golden-logit tolerance as the erf path (ops/gelu.py accuracy bounds are
+    orders below this test's atol)."""
+    import dataclasses
+
+    tmodel = _torch_vit()
+    params = torch_vit_to_flax(tmodel.state_dict(), num_classes=NCLS)
+    fcfg = ViTConfig(image_size=IMG, patch_size=PATCH, hidden_size=HIDDEN,
+                     num_layers=LAYERS, num_heads=HEADS, mlp_dim=MLP,
+                     num_classes=NCLS)
+    fmodel = ViT(dataclasses.replace(fcfg, gelu=variant), compute_dtype="float32")
+
+    x = np.random.default_rng(1).normal(size=(3, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    f_logits = np.asarray(fmodel.apply({"params": params}, x))
+    np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
+
+
 def test_vit_head_reinit_on_mismatch():
     tmodel = _torch_vit()
     params = torch_vit_to_flax(tmodel.state_dict(), num_classes=11)

@@ -93,6 +93,24 @@ def test_moe_sparse_matches_dense_with_ample_capacity():
                                rtol=1e-4)
 
 
+def test_moe_feature_dispatch_matches_image_dispatch():
+    """Feature-level dispatch (gather token sequences after per-expert patch
+    embed) computes the same function as image-level dispatch (gather raw
+    images), with an identical param tree."""
+    feat = _moe("sparse")        # dispatch_level defaults to 'feature'
+    img = MoEClassifier(MoEConfig(
+        num_experts=4, top_k=2, num_classes=6, routing="sparse",
+        capacity_factor=8.0, dispatch_level="image", expert_vit=TINY_VIT,
+    ), compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
+    params = img.init(jax.random.key(1), x)
+    out_i, gi, ti_i = img.apply(params, x)
+    out_f, gf, ti_f = feat.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(ti_i), np.asarray(ti_f))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_i),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_moe_gate_noise_only_in_training():
     model = _moe("dense")
     x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))

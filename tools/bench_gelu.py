@@ -34,5 +34,5 @@ def run(gelu, steps=16):
     return 128 * steps / (time.perf_counter() - t0)
 
 if __name__ == "__main__":
-    for g in ("exact", "tanh"):
+    for g in sys.argv[1:] or ("exact", "fast", "poly", "tanh"):
         print(json.dumps({"gelu": g, "img_s": round(run(g), 1)}), flush=True)

@@ -131,9 +131,13 @@ class ViTConfig:
     # compile helper (HTTP 500) at every batch size — models.vit warns and
     # falls back to 'full' on that backend (perf ledger, CLAUDE.md).
     remat_policy: str = "full"
-    # 'exact' = erf GELU (HF ViT parity — required to serve converted
-    # checkpoints bit-true); 'tanh' = cheaper approximation (exact erf
-    # profiles at ~40% of forward VPU time on v5e)
+    # 'exact' = erf GELU (HF ViT numerics; XLA's erf expansion is the
+    # slowest path on v5e); 'fast' = erf numerics to ~1e-6 via the VPU's
+    # fast tanh with a fitted argument polynomial — tanh-approximation
+    # speed (~+11% train step) without its 4.7e-4 deviation; 'poly' =
+    # FMA-only erf-exact form (max err 8.3e-7; measured no faster than
+    # 'exact' on v5e); 'tanh' = the conventional approximation (a
+    # different function, max err 4.7e-4). See ops/gelu.py.
     gelu: str = "exact"
 
     @property
@@ -187,6 +191,15 @@ class MoEConfig:
     #            mesh axis (expert parallelism, the TPU-native upgrade)
     routing: str = "dense"
     capacity_factor: float = 1.25   # sparse mode only
+    # sparse-mode dispatch granularity:
+    # 'image'   = gather routed images, each expert runs its full ViT on its
+    #             capacity slots
+    # 'feature' = every expert patch-embeds ALL images (per-expert weights,
+    #             ~1.3% of ViT FLOPs), the token sequences of routed samples
+    #             are gathered, and only the encoder runs at capacity — the
+    #             gather moves (C, N, D) tokens instead of (C, H, W, 3)
+    #             images and the patch embed stays a full-batch matmul
+    dispatch_level: str = "feature"
     balance_loss_alpha: float = 0.5  # total_loss mix (TIC/ResMoE/train.py:36)
     sce_alpha: float = 0.1          # symmetric CE (TIC/ResMoE/train.py:21)
     sce_beta: float = 1.0

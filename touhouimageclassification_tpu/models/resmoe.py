@@ -14,7 +14,12 @@ TPU-native design:
 - ``routing='dense'`` reproduces the reference numerics exactly (all experts
   computed, gate scattered to a dense (B, E) weight matrix),
 - ``routing='sparse'`` uses capacity-based top-k dispatch
-  (``ops/moe_dispatch.py``): K/E of the dense FLOPs,
+  (``ops/moe_dispatch.py``): K/E of the dense FLOPs. Default granularity is
+  ``dispatch_level='feature'``: every expert patch-embeds the full batch
+  with its own weights (a ~1.3%-of-FLOPs full-batch matmul), routed samples
+  are gathered as token sequences, and only the encoder runs at capacity —
+  cheaper gathers and fatter matmuls than gathering raw images
+  (``dispatch_level='image'``),
 - the stacked expert axis is shardable over the mesh's ``expert`` axis for
   expert parallelism (``parallel/``): params P('expert') on axis 0.
 
@@ -63,6 +68,19 @@ class GatingNetwork(nn.Module):
         return jax.nn.softmax(top_w, axis=-1), top_i
 
 
+class _FeatureDispatchViT(ViT):
+    """One expert for feature-level sparse dispatch: embeds EVERY image with
+    its own patch embedding (per-expert weights preserved — the reference
+    gives each expert a full ViT, ``TIC/ResMoE/model.py:56``), then encodes
+    only its routed capacity slots. Params are identical to ``ViT``, so
+    checkpoints interoperate across routing/dispatch modes."""
+
+    def __call__(self, x_all, gather_idx, deterministic: bool = True):
+        tokens = self.embed(x_all, deterministic)     # (B, N+1, D)
+        tokens = tokens[gather_idx]                   # (C, N+1, D)
+        return self.encode(tokens, deterministic)     # (C, classes)
+
+
 class MoEClassifier(nn.Module):
     cfg: MoEConfig
     compute_dtype: str = "bfloat16"
@@ -100,6 +118,25 @@ class MoEClassifier(nn.Module):
             combined = jnp.einsum(
                 "be,ebc->bc", gate_dense.astype(jnp.float32),
                 expert_logits.astype(jnp.float32),
+            )
+        elif cfg.dispatch_level == "feature":
+            capacity = md.capacity_for(b, cfg.top_k, cfg.num_experts,
+                                       cfg.capacity_factor)
+            plan = md.make_dispatch_plan(top_i, cfg.num_experts, capacity)
+            FeatureStack = nn.vmap(
+                _FeatureDispatchViT,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(None, 0, None),
+                out_axes=0,
+                axis_size=cfg.num_experts,
+                metadata_params={nn.meta.PARTITION_NAME: "expert"},
+            )
+            expert_logits = FeatureStack(
+                expert_cfg, self.compute_dtype, name="experts"
+            )(x, plan.gather_idx, deterministic)                   # (E, C, classes)
+            combined = md.combine(
+                plan, expert_logits.astype(jnp.float32), gate_w, b
             )
         else:
             capacity = md.capacity_for(b, cfg.top_k, cfg.num_experts,

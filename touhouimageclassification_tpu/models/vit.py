@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import ViTConfig
+from ..ops.gelu import gelu_fast, gelu_poly
 
 
 def _dtype(name: str):
@@ -167,8 +168,17 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         x = nn.Dense(cfg.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        # HF ViT uses exact (erf) GELU; 'tanh' trades parity for VPU time
-        x = nn.gelu(x, approximate=(cfg.gelu == "tanh"))
+        # HF ViT uses exact (erf) GELU. 'fast' keeps erf numerics to ~1e-6
+        # (plus the backend tanh's own error) at tanh-approximation speed;
+        # 'poly' is the FMA-only erf-exact form (max err 8.3e-7, same speed
+        # as erf on v5e); 'tanh' is the conventional approximation
+        # (a different function, max err 4.7e-4). See ops/gelu.py.
+        if cfg.gelu == "fast":
+            x = gelu_fast(x)
+        elif cfg.gelu == "poly":
+            x = gelu_poly(x)
+        else:
+            x = nn.gelu(x, approximate=(cfg.gelu == "tanh"))
         if cfg.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
@@ -204,39 +214,31 @@ class ViT(nn.Module):
     module returns logits directly (JAX functional style). Pretrained-weight
     loading is a separate concern (``utils/pretrained.py``), since scratch vs
     pretrained differ only in the initial params pytree.
+
+    The forward is split into ``embed`` (image -> positioned token sequence)
+    and ``encode`` (tokens -> logits) so callers can interpose on the token
+    stream — the sparse-MoE feature-level dispatch (``models/resmoe.py``)
+    gathers routed samples between the two stages.
     """
 
     cfg: ViTConfig
     compute_dtype: str = "bfloat16"
 
-    @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def setup(self):
         cfg = self.cfg
         dtype = _dtype(self.compute_dtype)
-        if x.shape[1] != cfg.image_size or x.shape[2] != cfg.image_size:
-            # image-size validation, as in TIC/ViT/model.py:34-38
-            raise ValueError(
-                f"Input spatial size {x.shape[1:3]} != configured "
-                f"{(cfg.image_size, cfg.image_size)}"
-            )
-        x = x.astype(dtype)
-
-        x = PatchEmbed(cfg, dtype=dtype, name="patch_embed")(x)
-
-        b = x.shape[0]
-        cls = self.param(
+        self.patch_embed = PatchEmbed(cfg, dtype=dtype)
+        self.cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size), jnp.float32
         )
-        x = jnp.concatenate([jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.hidden_size)), x], axis=1)
-        pos = self.param(
+        self.pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(stddev=0.02),
             (1, cfg.seq_len, cfg.hidden_size),
             jnp.float32,
         )
-        x = x + pos.astype(dtype)
-        if cfg.dropout_rate > 0.0 and not deterministic:
-            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        if cfg.dropout_rate > 0.0:
+            self.embed_dropout = nn.Dropout(rate=cfg.dropout_rate)
 
         if cfg.remat:
             use_dots = cfg.remat_policy == "dots"
@@ -255,16 +257,41 @@ class ViT(nn.Module):
             layer_cls = nn.remat(EncoderLayer, static_argnums=(2,), policy=policy)
         else:
             layer_cls = EncoderLayer
-        for i in range(cfg.num_layers):
-            x = layer_cls(cfg, dtype=dtype, name=f"layer_{i}")(
-                x, deterministic
-            )
+        self.layer = [layer_cls(cfg, dtype=dtype) for _ in range(cfg.num_layers)]
+        self.final_ln = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, param_dtype=jnp.float32
+        )
+        self.head = nn.Dense(
+            cfg.num_classes, dtype=jnp.float32, param_dtype=jnp.float32
+        )
 
-        x = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=dtype, param_dtype=jnp.float32, name="final_ln"
-        )(x)
+    def embed(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Image (B, S, S, 3) -> positioned tokens (B, N+1, hidden)."""
+        cfg = self.cfg
+        dtype = _dtype(self.compute_dtype)
+        if x.shape[1] != cfg.image_size or x.shape[2] != cfg.image_size:
+            # image-size validation, as in TIC/ViT/model.py:34-38
+            raise ValueError(
+                f"Input spatial size {x.shape[1:3]} != configured "
+                f"{(cfg.image_size, cfg.image_size)}"
+            )
+        x = self.patch_embed(x.astype(dtype))
+        b = x.shape[0]
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(dtype), (b, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls, x], axis=1) + self.pos_embed.astype(dtype)
+        if cfg.dropout_rate > 0.0 and not deterministic:
+            x = self.embed_dropout(x, deterministic=deterministic)
+        return x
+
+    def encode(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Positioned tokens (B, N+1, hidden) -> logits (B, num_classes)."""
+        for layer in self.layer:
+            x = layer(x, deterministic)
+        x = self.final_ln(x)
         cls_out = x[:, 0]
-        logits = nn.Dense(
-            cfg.num_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="head"
-        )(cls_out.astype(jnp.float32))
-        return logits
+        return self.head(cls_out.astype(jnp.float32))
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.encode(self.embed(x, deterministic), deterministic)

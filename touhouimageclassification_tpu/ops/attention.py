@@ -173,6 +173,13 @@ def flash_attention(q, k, v):
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
                        scale: float):
+    # Softmax-variant A/B on chip (tools/bench_attn6.py, fwd and bwd):
+    # exp-vs-exp2 (log2e folded into the scale) and divide-vs-reciprocal-
+    # multiply are all within noise (fwd 1.71-1.80 ms/app, bwd 2.92-2.94);
+    # moving normalization after the PV matmul is WORSE (+0.16 ms — it
+    # serializes with the MXU epilogue, while the (N, N) divide overlaps
+    # the next head's matmul). The kernel is grid/layout bound at N=197,
+    # not exponential-bound. Keep the simplest form.
     q, k, v = q_ref[0], k_ref[0], v_ref[0]          # (N, C) each
     hd = q.shape[-1] // num_heads
     outs = []

@@ -23,6 +23,11 @@ def main(argv=None):
     parser = standard_argparser("Train the ResMoE mixture of ViT experts")
     parser.add_argument("--routing", type=str, default="dense",
                         choices=["dense", "sparse"])
+    parser.add_argument("--dispatch-level", type=str, default="feature",
+                        choices=["feature", "image"],
+                        help="sparse-mode granularity: gather routed token "
+                             "sequences after per-expert patch embed "
+                             "(feature) or gather raw images (image)")
     parser.add_argument("--num-experts", type=int, default=8)
     parser.add_argument("--top-k", type=int, default=2)
     parser.add_argument("--expert-shards", type=int, default=1,
@@ -44,7 +49,9 @@ def main(argv=None):
     from .cli import dataset_num_classes
 
     moe_cfg = MoEConfig(num_experts=args.num_experts, top_k=args.top_k,
-                        routing=args.routing, expert_vit=tiny_vit,
+                        routing=args.routing,
+                        dispatch_level=args.dispatch_level,
+                        expert_vit=tiny_vit,
                         num_classes=dataset_num_classes(cfg))
     model = MoEClassifier(moe_cfg)
     run(cfg, args, model=model, task=MoETask(moe_cfg))
