@@ -23,7 +23,8 @@ BASELINE_IMG_PER_SEC = 67.0  # RTX 3080 reference point (BASELINE.md)
 
 
 def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
-                scan: int = 8, attn: str | None = None) -> float:
+                scan: int = 8, attn: str | None = None,
+                gelu: str | None = None) -> float:
     import jax
 
     from touhouimageclassification_tpu.config import (
@@ -56,6 +57,8 @@ def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
     overrides = {"remat": remat}
     if attn:
         overrides["attention_impl"] = attn
+    if gelu:
+        overrides["gelu"] = gelu
     model = ViT(dataclasses.replace(VIT_LARGE, **overrides))
     trainer = Trainer(cfg, model=model, mesh=mesh)
     state = trainer.init_state(steps_per_epoch=100)
@@ -284,6 +287,9 @@ def main():
     parser.add_argument("--attn", type=str, default=None,
                         choices=["xla", "fused", "flash", "xla_remat"],
                         help="attention impl override for the train bench")
+    parser.add_argument("--gelu", type=str, default=None,
+                        choices=["exact", "fast", "poly", "tanh"],
+                        help="GELU variant override for the train bench")
     parser.add_argument("--real-data", action="store_true",
                         help="also run the end-to-end input-pipeline bench "
                              "(host JPEG decode -> prefetch -> train step)")
@@ -304,7 +310,7 @@ def main():
         return
 
     img_s = bench_train(args.batch, args.steps, remat=args.remat, scan=args.scan,
-                        attn=args.attn)
+                        attn=args.attn, gelu=args.gelu)
     print(json.dumps({
         "metric": "vit_large_finetune_images_per_sec_per_chip",
         "value": round(img_s, 2),

@@ -131,14 +131,15 @@ class ViTConfig:
     # compile helper (HTTP 500) at every batch size — models.vit warns and
     # falls back to 'full' on that backend (perf ledger, CLAUDE.md).
     remat_policy: str = "full"
-    # 'exact' = erf GELU (HF ViT numerics; XLA's erf expansion is the
-    # slowest path on v5e); 'fast' = erf numerics to ~1e-6 via the VPU's
-    # fast tanh with a fitted argument polynomial — tanh-approximation
-    # speed (~+11% train step) without its 4.7e-4 deviation; 'poly' =
-    # FMA-only erf-exact form (max err 8.3e-7; measured no faster than
-    # 'exact' on v5e); 'tanh' = the conventional approximation (a
-    # different function, max err 4.7e-4). See ops/gelu.py.
-    gelu: str = "exact"
+    # 'fast' (default) = erf numerics to ~1e-6 via the VPU's fast tanh with
+    # a fitted argument polynomial — tanh-approximation speed (full train
+    # step 306 vs 290 img/s) without its 4.7e-4 deviation; converted-torch
+    # golden-logit parity passes at the same tolerance as the erf path
+    # (tests/test_convert.py). 'exact' = XLA's erf expansion (the slowest
+    # path on v5e); 'poly' = FMA-only erf-exact form (max err 8.3e-7;
+    # measured no faster than 'exact' on v5e); 'tanh' = the conventional
+    # approximation (a different function, max err 4.7e-4). See ops/gelu.py.
+    gelu: str = "fast"
 
     @property
     def num_patches(self) -> int:

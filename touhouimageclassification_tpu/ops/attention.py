@@ -171,32 +171,54 @@ def flash_attention(q, k, v):
 # (SURVEY §2 native-obligation note).
 
 
+def _stack_heads(x, num_heads):
+    """(N, C) -> (H, N, D): one explicit in-VMEM relayout per operand.
+
+    Mosaic rejects the (N, C) -> (N, H, D) shape cast, so the head axis is
+    built by stacking 64-lane slices. Head-batching study on chip
+    (tools/bench_attn7.py): paying this relayout once and running ONE
+    batched dot_general chain over all heads beats the sequential 64-lane
+    head loop on the backward (2.39 vs 2.93 ms/app, 6 matmuls amortize the
+    relayout) and ties it on the forward (1.72 vs 1.75, 2 matmuls). Other
+    variants lose: 128-lane head pairs 1.79, 2 images/grid-step 1.88/2.86.
+    Softmax-variant A/B (tools/bench_attn6.py): exp2, reciprocal-multiply,
+    and post-matmul normalization are all within noise or worse — the
+    kernel is grid/layout bound at N=197, not exponential-bound.
+    """
+    hd = x.shape[-1] // num_heads
+    return jnp.stack(
+        [x[:, h * hd:(h + 1) * hd] for h in range(num_heads)], axis=0
+    )
+
+
+def _unstack_heads(x):
+    """(H, N, D) -> (N, C)."""
+    return jnp.concatenate([x[h] for h in range(x.shape[0])], axis=-1)
+
+
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
                        scale: float):
-    # Softmax-variant A/B on chip (tools/bench_attn6.py, fwd and bwd):
-    # exp-vs-exp2 (log2e folded into the scale) and divide-vs-reciprocal-
-    # multiply are all within noise (fwd 1.71-1.80 ms/app, bwd 2.92-2.94);
-    # moving normalization after the PV matmul is WORSE (+0.16 ms — it
-    # serializes with the MXU epilogue, while the (N, N) divide overlaps
-    # the next head's matmul). The kernel is grid/layout bound at N=197,
-    # not exponential-bound. Keep the simplest form.
     q, k, v = q_ref[0], k_ref[0], v_ref[0]          # (N, C) each
-    hd = q.shape[-1] // num_heads
-    outs = []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                    # (N, N) f32, VMEM-only
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    qh = _stack_heads(q, num_heads)                 # (H, N, D)
+    kh = _stack_heads(k, num_heads)
+    vh = _stack_heads(v, num_heads)
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                       # (H, N, N) f32, VMEM-only
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, N, D)
+    o_ref[0] = _unstack_heads(o).astype(o_ref.dtype)
+
+
+BWD_HEAD_GROUP = 8  # the backward holds ~5 (G, N, N) f32 intermediates in
+                    # VMEM; G=16 needs 16.6 MB and busts the 16 MB scoped
+                    # limit inside the train step — two groups of 8 fit
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
@@ -204,38 +226,42 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
     hd = q.shape[-1] // num_heads
     dqs, dks, dvs = [], [], []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+    for h0 in range(0, num_heads, BWD_HEAD_GROUP):
+        heads = list(range(h0, min(h0 + BWD_HEAD_GROUP, num_heads)))
+        st = lambda x: jnp.stack(
+            [x[:, h * hd:(h + 1) * hd] for h in heads], axis=0)  # (G, N, D)
+        qh, kh, vh, gh = st(q), st(k), st(v), st(g)
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)   # (N, N) f32
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, N, N) f32
         dp = jax.lax.dot_general(
-            gh, vh, (((1,), (1,)), ((), ())),
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                            # (N, N)
+        )                                           # (G, N, N)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
-        ds_c = ds.astype(kh.dtype)
-        p_c = p.astype(gh.dtype)
+        ds_c = ds.astype(k.dtype)
+        p_c = p.astype(g.dtype)
         dqs.append(jax.lax.dot_general(
-            ds_c, kh, (((1,), (0,)), ((), ())),
+            ds_c, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale)
         dks.append(jax.lax.dot_general(
-            ds_c, qh, (((0,), (0,)), ((), ())),
+            ds_c, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale)
         dvs.append(jax.lax.dot_general(
-            p_c, gh, (((0,), (0,)), ((), ())),
+            p_c, gh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+    cat = lambda xs: jnp.concatenate(
+        [x[i] for x in xs for i in range(x.shape[0])], axis=-1)
+    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
 
 
 def _packed_forward(q, k, v, num_heads):
