@@ -111,6 +111,24 @@ def test_packed_gradients_match_reference():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_packed_gradients_split_head_groups():
+    """num_heads > BWD_HEAD_GROUP exercises the grouped backward, including
+    an uneven final group (12 heads -> groups of 8 + 4)."""
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention, packed_reference_attention)
+    q, k, v = _packed_qkv(b=1, n=67, c=12 * 16, seed=5)
+    w = jax.random.normal(jax.random.key(11), (67, 12 * 16))
+
+    def f(attn):
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v, 12) * w)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(f(packed_attention), f(packed_reference_attention)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_vit_with_fused_attention_matches_xla(monkeypatch):
     from touhouimageclassification_tpu.config import ViTConfig
     from touhouimageclassification_tpu.models.vit import ViT
