@@ -120,3 +120,29 @@ def test_model_flag_matches_exact(variant):
     le = exact.apply({"params": params}, x)
     lp = ViT(dataclasses.replace(cfg, gelu=variant)).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(le), np.asarray(lp), atol=2e-2, rtol=0)
+
+
+def test_gradients_finite_at_extreme_inputs():
+    """The unselected where() branch must not overflow: reverse-mode where
+    multiplies 0 * inf into NaN otherwise (double-where clamp regression)."""
+    x = jnp.asarray([-1e6, -1e4, -100.0, 100.0, 1e4, 1e6], jnp.float32)
+    for fn in (gelu_poly, gelu_fast):
+        g = jax.vmap(jax.grad(lambda v, fn=fn: fn(v)))(x)
+        assert bool(jnp.all(jnp.isfinite(g))), (fn.__name__, g)
+    # and the forwards stay exact out there: identity / zero
+    np.testing.assert_array_equal(np.asarray(gelu_poly(x)),
+                                  [0, 0, 0, 100.0, 1e4, 1e6])
+
+
+def test_unknown_variant_raises():
+    import dataclasses
+
+    from touhouimageclassification_tpu.config import ViTConfig
+    from touhouimageclassification_tpu.models.vit import ViT
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                    num_layers=1, num_heads=4, mlp_dim=128, num_classes=3,
+                    gelu="fats")
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="gelu"):
+        ViT(cfg, compute_dtype="float32").init(jax.random.key(0), x)

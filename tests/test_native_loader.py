@@ -104,3 +104,49 @@ def test_canvas_cache_invalidated_on_dataset_change(tmp_path):
     batches = list(l2)
     assert l2._cache.hit_rate() == 1.0
     assert all(b["image"].any() for b in batches)
+
+
+def test_cache_dir_is_not_a_class(tmp_path):
+    """Rescanning a dataset after the canvas cache was created must not grow
+    the class list or shift label ids (.tic_canvas_cache lives under root)."""
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    loader = HostImageLoader(index, batch_size=3, canvas=(32, 32), shuffle=False,
+                             drop_last=False, canvas_cache=True)
+    list(loader)
+    assert os.path.isdir(os.path.join(root, ".tic_canvas_cache"))
+    index2 = scan_image_folder(root, persist_class_map=False)
+    assert index2.classes == index.classes
+    np.testing.assert_array_equal(index2.labels, index.labels)
+
+
+def test_missing_data_file_resets_done_map(tmp_path):
+    """A surviving .done map without its .data file must not report hits
+    (it would serve all-black canvases)."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    imgs = np.full((len(index), 32, 32, 3), 7, np.uint8)
+    c1.store(np.arange(len(index)), imgs)
+    assert c1.hit_rate() == 1.0
+    del c1
+    os.remove(os.path.join(root, ".tic_canvas_cache", "32x32.data"))
+    c2 = CanvasCache(index, (32, 32))
+    assert c2.hit_rate() == 0.0
+
+
+def test_same_size_replacement_invalidates_cache(tmp_path):
+    """Replacing an image in-place (same byte size, different mtime) must
+    invalidate the cache — the fingerprint includes mtime."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    c1.store(np.arange(len(index)), np.full((len(index), 32, 32, 3), 7, np.uint8))
+    del c1
+    os.utime(index.paths[0], ns=(1, 1))  # same bytes, different mtime
+    c2 = CanvasCache(index, (32, 32))
+    assert c2.hit_rate() == 0.0

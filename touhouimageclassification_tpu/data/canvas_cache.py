@@ -34,10 +34,13 @@ def _fingerprint(index: ImageFolderIndex) -> str:
     root = index.root
     for p in index.paths:
         try:
-            size = os.path.getsize(p)
+            st = os.stat(p)
+            size, mtime = st.st_size, st.st_mtime_ns
         except OSError:
-            size = -1
-        h.update(f"{os.path.relpath(p, root)}:{size}\n".encode())
+            size, mtime = -1, -1
+        # mtime is part of the identity: a file replaced in-place by a
+        # same-size re-encode must invalidate its cached canvas
+        h.update(f"{os.path.relpath(p, root)}:{size}:{mtime}\n".encode())
     return h.hexdigest()
 
 
@@ -71,12 +74,17 @@ class CanvasCache:
                            "canvas": list(self.canvas)}, f)
 
         shape = (n, *self.canvas, 3)
-        mode = "r+" if os.path.exists(self._data_path) else "w+"
-        self.data = np.memmap(self._data_path, dtype=np.uint8, mode=mode,
-                              shape=shape)
+        data_fresh = not os.path.exists(self._data_path)
+        self.data = np.memmap(self._data_path, dtype=np.uint8,
+                              mode="w+" if data_fresh else "r+", shape=shape)
         mode = "r+" if os.path.exists(self._done_path) else "w+"
         self.done = np.memmap(self._done_path, dtype=np.uint8, mode=mode,
                               shape=(n,))
+        if data_fresh:
+            # a surviving done-map without its data file (e.g. the ~26 GB
+            # .data deleted to reclaim disk) must not mark the zero-filled
+            # fresh data as hits
+            self.done[:] = 0
 
     def hit_rate(self) -> float:
         return float(np.mean(self.done != 0))

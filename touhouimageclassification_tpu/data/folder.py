@@ -40,7 +40,11 @@ class ImageFolderIndex:
 
 def scan_image_folder(root: str, persist_class_map: bool = True) -> ImageFolderIndex:
     classes = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        d for d in os.listdir(root)
+        # hidden dirs are never classes: the canvas cache lives at
+        # <root>/.tic_canvas_cache and must not shift every label index
+        # when a dataset is rescanned after an epoch ran with caching on
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
     )
     if not classes:
         raise FileNotFoundError(f"No class subdirectories under {root}")

@@ -31,8 +31,8 @@ class FilterReport:
         return self.kept / self.total if self.total else 0.0
 
 
-def _kept_rows(csv_file: str) -> dict[str, list[str]]:
-    """label -> source paths of correctly-predicted rows; also counts total."""
+def _kept_rows(csv_file: str) -> tuple[dict[str, list[str]], int]:
+    """(label -> source paths of correctly-predicted rows, total rows)."""
     by_label: dict[str, list[str]] = defaultdict(list)
     total = 0
     with open(csv_file, newline="") as f:
@@ -41,15 +41,13 @@ def _kept_rows(csv_file: str) -> dict[str, list[str]]:
             label = row["actual_class"].strip()
             if row["predicted_class"].strip() == label:
                 by_label[label].append(row["path"].strip())
-    by_label["__total__"] = [str(total)]  # smuggled count, popped by caller
-    return by_label
+    return by_label, total
 
 
 def filter(csv_file: str, output_directory: str) -> tuple[int, int]:
     """Build ``<output_directory>/<label>/`` from the judge CSV's correct
     rows. Returns ``(total_rows, kept_rows)``."""
-    by_label = _kept_rows(csv_file)
-    total = int(by_label.pop("__total__")[0])
+    by_label, total = _kept_rows(csv_file)
     kept = 0
     for label, paths in sorted(by_label.items()):
         dest_dir = os.path.join(output_directory, label)

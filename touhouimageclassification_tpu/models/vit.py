@@ -177,8 +177,13 @@ class Mlp(nn.Module):
             x = gelu_fast(x)
         elif cfg.gelu == "poly":
             x = gelu_poly(x)
-        else:
+        elif cfg.gelu in ("exact", "tanh"):
             x = nn.gelu(x, approximate=(cfg.gelu == "tanh"))
+        else:
+            raise ValueError(
+                f"Unknown gelu variant {cfg.gelu!r}; expected "
+                "'fast' | 'poly' | 'exact' | 'tanh'"
+            )
         if cfg.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)

@@ -82,12 +82,16 @@ def gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
     (max err 1.5e-6 + the backend tanh's own error; see module comment)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    u = xf * xf
+    # double-where: clamp the polynomial input so the unselected branch
+    # stays finite — otherwise reverse-mode where() multiplies 0 * inf and
+    # poisons the gradient for large pre-activations
+    xc = jnp.clip(xf, -_R_FAST, _R_FAST)
+    u = xc * xc
     t = u * jnp.float32(2.0 / (_R_FAST * _R_FAST)) - jnp.float32(1.0)
     acc = jnp.float32(_COEF_FAST[-1])
     for c in _COEF_FAST[-2::-1]:
         acc = acc * t + jnp.float32(c)
-    y = jnp.float32(0.5) * xf * (jnp.float32(1.0) + jnp.tanh(xf * acc))
+    y = jnp.float32(0.5) * xc * (jnp.float32(1.0) + jnp.tanh(xc * acc))
     y = jnp.where(xf > jnp.float32(_R_FAST), xf, y)
     y = jnp.where(xf < jnp.float32(-_R_FAST), jnp.float32(0.0), y)
     return y.astype(dtype)
@@ -98,12 +102,13 @@ def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     dtype, internal arithmetic in f32 (like XLA's own erf path for bf16)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    u = xf * xf
+    xc = jnp.clip(xf, -_R, _R)  # double-where (see gelu_fast)
+    u = xc * xc
     t = u * jnp.float32(2.0 / (_R * _R)) - jnp.float32(1.0)
     acc = jnp.float32(_COEF[-1])
     for c in _COEF[-2::-1]:
         acc = acc * t + jnp.float32(c)
-    y = xf * (jnp.float32(0.5) + xf * acc)
+    y = xc * (jnp.float32(0.5) + xc * acc)
     # outside |x| <= R the polynomial is not fitted: GELU(x) is x (resp. 0)
     # to well below bf16 resolution there (|x*Phi(-|x|)| < 1.1e-7 at R)
     y = jnp.where(xf > jnp.float32(_R), xf, y)
