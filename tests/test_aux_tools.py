@@ -133,3 +133,43 @@ def test_aug_visualizer(tmp_path):
         assert os.path.exists(p)
         with Image.open(p) as im:
             assert im.size[0] >= 32
+
+
+def test_shipped_label_tables_carry_the_120_class_space():
+    """The shipped data tables (ported from the reference: th_name_raw 161
+    rows CH/JP/EN, lang map 162 rows, processed keyword splits) must
+    reproduce the documented 120-class contract: exactly 120 keywords pass
+    the crawler's default popularity cutoff of 2000 across the two
+    processed splits (TIC report §2; crawler --popularity default)."""
+    import csv
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+
+    def rows(path):
+        with open(os.path.join(root, path), newline="") as f:
+            return list(csv.DictReader(f))
+
+    raw = rows("crawler/th_name_raw.csv")
+    assert len(raw) >= 160 and set(raw[0]) == {"CH", "JP", "EN"}
+    lang = rows("web/th_name_lang_map.csv")
+    assert len(lang) >= 160 and set(lang[0]) == {"CN", "JP", "EN"}
+
+    kept = [
+        r for p in ("crawler/th_name_processed_1.csv",
+                    "crawler/th_name_processed_2.csv")
+        for r in rows(p) if int(r["cnt"]) >= 2000
+    ]
+    assert len(kept) == 120
+    assert len({r["keyword"] for r in kept}) == 120  # no duplicate keywords
+
+    # the crawler's own loader applies the same cutoff
+    from crawler.pixiv_crawl import load_keywords
+    n = 0
+    for p in ("crawler/th_name_processed_1.csv", "crawler/th_name_processed_2.csv"):
+        n += len(load_keywords(os.path.join(root, p), popularity=2000))
+    assert n == 120
+
+    # pretest fixture: a bare keyword list for crawler dry runs
+    with open(os.path.join(root, "crawler/th_name_pretest.csv")) as f:
+        pre = [l.strip() for l in f if l.strip()]
+    assert pre[0] == "keyword" and len(pre) == 12
