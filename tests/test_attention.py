@@ -167,3 +167,49 @@ def test_non_multiple_head_counts():
         ref = _reference_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_slab_forward_and_gradients_match_reference():
+    """The slab form (one (B, N, 3C) operand, one fused gradient) computes
+    the same function + VJP as the sliced packed reference."""
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention_slab, packed_reference_attention)
+    c = 4 * 16
+    qkv = jax.random.normal(jax.random.key(7), (2, 67, 3 * c))
+    w = jax.random.normal(jax.random.key(8), (67, c))
+
+    def ref(qkv):
+        return jnp.sum(packed_reference_attention(
+            qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:], 4) * w)
+
+    def slab(qkv):
+        return jnp.sum(packed_attention_slab(qkv, 4) * w)
+
+    np.testing.assert_allclose(
+        np.asarray(packed_attention_slab(qkv, 4)),
+        np.asarray(packed_reference_attention(
+            qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:], 4)),
+        atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(slab)(qkv)), np.asarray(jax.grad(ref)(qkv)),
+        atol=1e-4, rtol=1e-4)
+
+
+def test_slab_gradients_split_head_groups():
+    """Slab backward with num_heads > BWD_HEAD_GROUP (12 -> 8 + 4)."""
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention_slab, packed_reference_attention)
+    c = 12 * 16
+    qkv = jax.random.normal(jax.random.key(9), (1, 67, 3 * c))
+    w = jax.random.normal(jax.random.key(10), (67, c))
+
+    def ref(qkv):
+        return jnp.sum(packed_reference_attention(
+            qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:], 12) * w)
+
+    def slab(qkv):
+        return jnp.sum(packed_attention_slab(qkv, 12) * w)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(slab)(qkv)), np.asarray(jax.grad(ref)(qkv)),
+        atol=1e-4, rtol=1e-4)

@@ -107,8 +107,14 @@ class Attention(nn.Module):
         if cfg.attention_impl == "fused" and cfg.attention_dropout_rate == 0.0:
             # the packed kernel consumes the fused-QKV layout directly —
             # contiguous lane slices, no (B, N, H, D) reshape/transpose glue.
-            # (attention dropout falls through to the XLA path below; every
-            # reference config uses rate 0.0.)
+            # Measured negative result: feeding the whole (B, N, 3C) slab to
+            # one kernel (ops/attention.packed_attention_slab, which also
+            # fuses the backward into one (B, N, 3C) gradient) runs the full
+            # step at 313-314 img/s vs 319-321 for this sliced form — XLA
+            # overlaps the slice copies with compute, and the monolithic
+            # 3C-lane DMA block pipelines worse. (attention dropout falls
+            # through to the XLA path below; every reference config uses
+            # rate 0.0.)
             from ..ops.attention import packed_attention_auto
 
             out = packed_attention_auto(

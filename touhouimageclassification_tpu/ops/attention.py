@@ -198,22 +198,8 @@ def _unstack_heads(x):
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
                        scale: float):
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]          # (N, C) each
-    qh = _stack_heads(q, num_heads)                 # (H, N, D)
-    kh = _stack_heads(k, num_heads)
-    vh = _stack_heads(v, num_heads)
-    s = jax.lax.dot_general(
-        qh, kh, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                       # (H, N, N) f32, VMEM-only
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                               # (H, N, D)
-    o_ref[0] = _unstack_heads(o).astype(o_ref.dtype)
+    _packed_fwd_kernel_body(q_ref[0], k_ref[0], v_ref[0], o_ref,
+                            num_heads=num_heads, scale=scale)
 
 
 BWD_HEAD_GROUP = 8  # the backward holds ~5 (G, N, N) f32 intermediates in
@@ -316,6 +302,166 @@ def _packed_bwd_rule(num_heads, res, g):
 
 
 packed_attention.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+# --- slab form: one (B, N, 3C) fused-QKV operand ---------------------------
+#
+# The model's QKV projection emits ONE (B, N, 3C) tensor. Feeding the kernel
+# three C-lane slices of it forces XLA to materialize three (B, N, C) copies
+# per layer (custom-call operands must be whole buffers), and the slice VJP
+# pads/concats three more on the way back. The slab kernels consume the
+# fused tensor directly and emit ONE fused (B, N, 3C) gradient, removing all
+# six copies (~300 MB of HBM traffic per ViT-L layer at B=128).
+#
+# MEASURED NEGATIVE RESULT (kept in-tree as documentation + tested): the
+# full train step runs at 313-314 img/s with the slab form vs 319-321 with
+# the sliced `packed_attention` — XLA overlaps the slice copies with
+# surrounding compute, while the monolithic (1, N, 3C) input/output DMA
+# blocks pipeline worse through the grid. The model ships the sliced form.
+
+
+def _slab_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    qkv = qkv_ref[0]                                # (N, 3C)
+    c = qkv.shape[-1] // 3
+    _packed_fwd_kernel_body(
+        qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:], o_ref,
+        num_heads=num_heads, scale=scale,
+    )
+
+
+def _packed_fwd_kernel_body(q, k, v, o_ref, *, num_heads: int, scale: float):
+    qh = _stack_heads(q, num_heads)                 # (H, N, D)
+    kh = _stack_heads(k, num_heads)
+    vh = _stack_heads(v, num_heads)
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                       # (H, N, N) f32, VMEM-only
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (H, N, D)
+    o_ref[0] = _unstack_heads(o).astype(o_ref.dtype)
+
+
+def _slab_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
+                     scale: float):
+    qkv, g = qkv_ref[0], g_ref[0]
+    c = qkv.shape[-1] // 3
+    q, k, v = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
+    hd = c // num_heads
+    dqs, dks, dvs = [], [], []
+    for h0 in range(0, num_heads, BWD_HEAD_GROUP):
+        heads = list(range(h0, min(h0 + BWD_HEAD_GROUP, num_heads)))
+        st = lambda x: jnp.stack(
+            [x[:, h * hd:(h + 1) * hd] for h in heads], axis=0)  # (G, N, D)
+        qh, kh, vh, gh = st(q), st(k), st(v), st(g)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, N, N) f32
+        dp = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_c = ds.astype(k.dtype)
+        p_c = p.astype(g.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds_c, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dks.append(jax.lax.dot_general(
+            ds_c, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dvs.append(jax.lax.dot_general(
+            p_c, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    cat = lambda xs: jnp.concatenate(
+        [x[i] for x in xs for i in range(x.shape[0])], axis=-1)
+    dqkv_ref[0] = jnp.concatenate(
+        [cat(dqs), cat(dks), cat(dvs)], axis=-1
+    ).astype(dqkv_ref.dtype)
+
+
+def _slab_forward(qkv, num_heads):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    kernel = functools.partial(_slab_fwd_kernel, num_heads=num_heads,
+                               scale=scale)
+    in_spec = pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                           memory_space=pltpu_compat.VMEM)
+    out_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu_compat.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        interpret=pltpu_compat.should_interpret(),
+    )(qkv)
+
+
+def _slab_backward(qkv, g, num_heads):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    kernel = functools.partial(_slab_bwd_kernel, num_heads=num_heads,
+                               scale=scale)
+    in_spec = pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                           memory_space=pltpu_compat.VMEM)
+    g_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu_compat.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[in_spec, g_spec],
+        out_specs=in_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        interpret=pltpu_compat.should_interpret(),
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def packed_attention_slab(qkv, num_heads: int):
+    """Fused multi-head attention on the raw (B, N, 3C) fused-QKV slab
+    (q | k | v along lanes, heads as contiguous C-slices within each).
+    Returns (B, N, C); the VJP emits one fused (B, N, 3C) gradient."""
+    return _slab_forward(qkv, num_heads)
+
+
+def _slab_fwd_rule(qkv, num_heads):
+    return _slab_forward(qkv, num_heads), (qkv,)
+
+
+def _slab_bwd_rule(num_heads, res, g):
+    (qkv,) = res
+    return (_slab_backward(qkv, g, num_heads),)
+
+
+packed_attention_slab.defvjp(_slab_fwd_rule, _slab_bwd_rule)
+
+
+def packed_attention_slab_auto(qkv, num_heads: int):
+    """Production dispatch for the slab form (see packed_attention_auto)."""
+    import os
+
+    if (pltpu_compat.should_interpret()
+            and os.environ.get("TIC_PALLAS_INTERPRET") != "1"):
+        c = qkv.shape[-1] // 3
+        return packed_reference_attention(
+            qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:], num_heads)
+    return packed_attention_slab(qkv, num_heads)
 
 
 def packed_reference_attention(q, k, v, num_heads: int):
