@@ -123,14 +123,22 @@ def test_model_flag_matches_exact(variant):
 
 
 def test_gradients_finite_at_extreme_inputs():
-    """The unselected where() branch must not overflow: reverse-mode where
-    multiplies 0 * inf into NaN otherwise (double-where clamp regression)."""
-    x = jnp.asarray([-1e6, -1e4, -100.0, 100.0, 1e4, 1e6], jnp.float32)
-    for fn in (gelu_poly, gelu_fast):
-        g = jax.vmap(jax.grad(lambda v, fn=fn: fn(v)))(x)
-        assert bool(jnp.all(jnp.isfinite(g))), (fn.__name__, g)
-    # and the forwards stay exact out there: identity / zero
-    np.testing.assert_array_equal(np.asarray(gelu_poly(x)),
+    """gelu_poly is input-clamped: gradients finite for ALL x (its degree-16
+    chain overflows already at |x|~84, reachable in unstable training).
+    gelu_fast deliberately ships clamp-free (the guard measured 4.3% of the
+    train step); its degree-6 chain is finite through |x| ~ 8.6e3, so pin
+    finite gradients over the whole plausibly-reachable range."""
+    x_all = jnp.asarray([-1e6, -1e4, -100.0, 100.0, 1e4, 1e6], jnp.float32)
+    g = jax.vmap(jax.grad(gelu_poly))(x_all)
+    assert bool(jnp.all(jnp.isfinite(g))), g
+    x_fast = jnp.asarray([-5e3, -100.0, -50.0, 50.0, 100.0, 5e3], jnp.float32)
+    g = jax.vmap(jax.grad(gelu_fast))(x_fast)
+    assert bool(jnp.all(jnp.isfinite(g))), g
+    # and the forwards stay exact out there: identity / zero — for BOTH,
+    # at any magnitude (the primal never produces inf/NaN)
+    np.testing.assert_array_equal(np.asarray(gelu_poly(x_all)),
+                                  [0, 0, 0, 100.0, 1e4, 1e6])
+    np.testing.assert_array_equal(np.asarray(gelu_fast(x_all)),
                                   [0, 0, 0, 100.0, 1e4, 1e6])
 
 

@@ -105,21 +105,18 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
 
         if cfg.attention_impl == "fused" and cfg.attention_dropout_rate == 0.0:
-            # the packed kernel consumes the fused-QKV layout directly —
-            # contiguous lane slices, no (B, N, H, D) reshape/transpose glue.
-            # Measured negative result: feeding the whole (B, N, 3C) slab to
-            # one kernel (ops/attention.packed_attention_slab, which also
-            # fuses the backward into one (B, N, 3C) gradient) runs the full
-            # step at 313-314 img/s vs 319-321 for this sliced form — XLA
-            # overlaps the slice copies with compute, and the monolithic
-            # 3C-lane DMA block pipelines worse. (attention dropout falls
-            # through to the XLA path below; every reference config uses
-            # rate 0.0.)
-            from ..ops.attention import packed_attention_auto
+            # the slab kernel consumes the fused-QKV (B, N, 3C) projection
+            # output DIRECTLY: no lane slicing (which materializes three
+            # (B, N, C) copies per layer), no (B, N, H, D) reshape glue, and
+            # one fused (B, N, 3C) gradient on the way back. Measured 329 vs
+            # 319 img/s for the sliced three-operand form at the full step
+            # (an earlier comparison that read the opposite was confounded
+            # by a GELU input clamp — see ops/gelu.py). (attention dropout
+            # falls through to the XLA path below; every reference config
+            # uses rate 0.0.)
+            from ..ops.attention import packed_attention_slab_auto
 
-            out = packed_attention_auto(
-                qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:], nh
-            )                                                 # (B, N, C)
+            out = packed_attention_slab_auto(qkv, nh)         # (B, N, C)
             return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
                             name="out")(out)
 

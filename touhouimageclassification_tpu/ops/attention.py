@@ -313,11 +313,14 @@ packed_attention.defvjp(_packed_fwd_rule, _packed_bwd_rule)
 # fused tensor directly and emit ONE fused (B, N, 3C) gradient, removing all
 # six copies (~300 MB of HBM traffic per ViT-L layer at B=128).
 #
-# MEASURED NEGATIVE RESULT (kept in-tree as documentation + tested): the
-# full train step runs at 313-314 img/s with the slab form vs 319-321 with
-# the sliced `packed_attention` — XLA overlaps the slice copies with
-# surrounding compute, while the monolithic (1, N, 3C) input/output DMA
-# blocks pipeline worse through the grid. The model ships the sliced form.
+# This is the PRODUCTION form (models/vit.py): full train step 329.0 img/s
+# vs 319.1 for the sliced `packed_attention` under identical everything
+# else. Measurement-history note: an earlier same-day comparison read slab
+# 313 vs sliced 319 and was WRONG — the two runs straddled a GELU change (a
+# gradient-safety input clamp worth 4.3% of the step, see ops/gelu.py)
+# which was misattributed to relay variance. Controlled A/Bs: sliced
+# 319.1/305.3 without/with the clamp; slab 329.0/313.4. The sliced form
+# stays in-tree for tests and kernel studies.
 
 
 def _slab_fwd_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):

@@ -77,21 +77,41 @@ _COEF_FAST = (  # monomial in t = 2*x^2/R^2 - 1, ascending
 )
 
 
+# Gradient safety vs hot-path cost. Beyond the fit radius the Horner chain
+# eventually overflows to inf; the primal stays finite (the wheres select
+# the identity/zero branch and tanh saturates), but once the chain is inf,
+# reverse-mode where() multiplies cotangent 0 by an inf-derivative → NaN.
+# The two variants make DIFFERENT trades, both measured on chip:
+#
+# - gelu_fast (the production default): the degree-6 chain in t only
+#   overflows f32 at |x| ≈ 8.6e3 — a pre-activation four orders past the
+#   fit radius, i.e. a model that has already catastrophically diverged,
+#   which the trainer's fused NaN-guard (train/optim.fast_global_norm)
+#   exists to absorb: the non-finite update is skipped either way. Guarding
+#   the activation itself was measured at 4.3% of the WHOLE train step
+#   (319.1 → 305.3 img/s back-to-back, both as a primal clamp and as a
+#   custom_jvp clamped-derivative rule — either way the clipped copy
+#   becomes one more live f32 (B, N, 4C) tensor on the backward). The
+#   default therefore ships clamp-free; tests pin finite gradients through
+#   |x| = 5e3.
+#
+# - gelu_poly (non-default, erf-exact documentation form): the degree-16
+#   chain overflows already at |x| ≈ 84, which unstable-but-recoverable
+#   training can reach. It keeps the input clamp (double-where); its speed
+#   is irrelevant since it measured no faster than XLA's erf anyway.
+
+
 def gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
     """erf-GELU via the VPU's fast tanh with a fitted argument polynomial
     (max err 1.5e-6 + the backend tanh's own error; see module comment)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    # double-where: clamp the polynomial input so the unselected branch
-    # stays finite — otherwise reverse-mode where() multiplies 0 * inf and
-    # poisons the gradient for large pre-activations
-    xc = jnp.clip(xf, -_R_FAST, _R_FAST)
-    u = xc * xc
+    u = xf * xf
     t = u * jnp.float32(2.0 / (_R_FAST * _R_FAST)) - jnp.float32(1.0)
     acc = jnp.float32(_COEF_FAST[-1])
     for c in _COEF_FAST[-2::-1]:
         acc = acc * t + jnp.float32(c)
-    y = jnp.float32(0.5) * xc * (jnp.float32(1.0) + jnp.tanh(xc * acc))
+    y = jnp.float32(0.5) * xf * (jnp.float32(1.0) + jnp.tanh(xf * acc))
     y = jnp.where(xf > jnp.float32(_R_FAST), xf, y)
     y = jnp.where(xf < jnp.float32(-_R_FAST), jnp.float32(0.0), y)
     return y.astype(dtype)
@@ -102,7 +122,7 @@ def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     dtype, internal arithmetic in f32 (like XLA's own erf path for bf16)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    xc = jnp.clip(xf, -_R, _R)  # double-where (see gelu_fast)
+    xc = jnp.clip(xf, -_R, _R)  # double-where (see module comment above)
     u = xc * xc
     t = u * jnp.float32(2.0 / (_R * _R)) - jnp.float32(1.0)
     acc = jnp.float32(_COEF[-1])
