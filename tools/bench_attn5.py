@@ -58,5 +58,46 @@ def main():
                           "ms_per_app": round(best * 1000, 3)}), flush=True)
 
 
+
+# appended: slab-form measurement via `python tools/bench_attn5.py slab`
+def main_slab():
+    import jax, jax.numpy as jnp
+    from touhouimageclassification_tpu.ops.attention import packed_attention_slab
+
+    B, N, NH, D, REPS = 128, 197, 16, 64, 24
+    C3 = 3 * NH * D
+
+    def make(i):
+        return jax.random.normal(jax.random.key(i), (B, N, C3)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run_fwd(qkv):
+        def body(_, qkv):
+            o = packed_attention_slab(qkv, NH)
+            return qkv.at[:, :, :o.shape[-1]].add(o * 1e-6)
+        return jax.lax.fori_loop(0, REPS, body, qkv)
+
+    @jax.jit
+    def run_fwdbwd(qkv):
+        def one(qkv):
+            return jnp.sum(packed_attention_slab(qkv, NH).astype(jnp.float32))
+
+        def body(_, qkv):
+            return qkv + jax.grad(one)(qkv) * 1e-6
+        return jax.lax.fori_loop(0, REPS, body, qkv)
+
+    for name, fn in (("slab fwd", run_fwd), ("slab fwd+bwd", run_fwdbwd)):
+        _fetch(fn(make(0)))
+        best = float("inf")
+        for i in range(1, 4):
+            a = make(i)
+            _fetch(a)
+            t0 = time.perf_counter()
+            _fetch(fn(a))
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        print(json.dumps({"which": name,
+                          "ms_per_app": round(best * 1000, 3)}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    main_slab() if "slab" in sys.argv[1:] else main()
