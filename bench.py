@@ -168,16 +168,21 @@ def bench_train_real(batch: int, steps: int, corpus_dir: str,
             loop=True, prefetch_batches=4, canvas_cache=cache,
         )
 
-    # host-only decode rate, cold (cache filling: every image decodes)
+    # host-only decode rate, cold. The window must not exceed ONE epoch of
+    # the corpus: past that every batch is a cache hit (the cache fills as
+    # epoch 1 iterates) and the "decode" rate silently measures memmap
+    # reads instead (observed 3-4x inflation at batch 192 x 24 steps on the
+    # 1152-image corpus).
     import shutil
 
     shutil.rmtree(os.path.join(corpus_dir, ".tic_canvas_cache"),
                   ignore_errors=True)
+    cold_steps = max(1, min(steps, len(index) // batch))
     it = iter(make_loader())
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(cold_steps):
         next(it)
-    host_decode_rate = batch * steps / (time.perf_counter() - t0)
+    host_decode_rate = batch * cold_steps / (time.perf_counter() - t0)
     # fill the rest of the cache, then measure the cached host rate
     for _ in range(len(index) // batch + 1):
         next(it)

@@ -160,11 +160,12 @@ int decode_buffer(const uint8_t* data, size_t len, int out_h, int out_w,
   }
   cinfo.scale_num = best_num;
   cinfo.scale_denom = 8;
-  // IFAST: ~1.5-2x faster IDCT; its small quality delta is irrelevant here
-  // because the decode target is an oversized canvas that immediately goes
-  // through RandomResizedCrop + heavy augmentation on device.
-  cinfo.dct_method = JDCT_IFAST;
-  cinfo.do_fancy_upsampling = FALSE;
+  // ISLOW + fancy upsampling: the perf ledger measured IFAST at ZERO
+  // throughput gain on this corpus (entropy decode dominates), so keep the
+  // highest-fidelity settings — with the canvas cache, whatever is decoded
+  // here is baked permanently into training pixels.
+  cinfo.dct_method = JDCT_ISLOW;
+  cinfo.do_fancy_upsampling = TRUE;
   jpeg_start_decompress(&cinfo);
 
   const int sw = cinfo.output_width;

@@ -213,3 +213,53 @@ def test_slab_gradients_split_head_groups():
     np.testing.assert_allclose(
         np.asarray(jax.grad(slab)(qkv)), np.asarray(jax.grad(ref)(qkv)),
         atol=1e-4, rtol=1e-4)
+
+
+def test_slab_partitions_over_batch_mesh(monkeypatch):
+    """Under jit on a multi-device mesh with batch-sharded inputs, the slab
+    custom call must partition along the batch axis (per-shard pallas_call)
+    instead of all-gathering the operands onto every device."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention_slab, packed_reference_attention)
+
+    monkeypatch.setenv("TIC_PALLAS_INTERPRET", "1")
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device CPU mesh"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    c = 4 * 16
+    qkv = jax.random.normal(jax.random.key(3), (16, 67, 3 * c))
+    sharded = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+
+    @jax.jit
+    def fwd(qkv):
+        return packed_attention_slab(qkv, 4)
+
+    out = fwd(sharded)
+    ref = packed_reference_attention(
+        qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:], 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # the result must stay batch-sharded and the HLO free of gathers
+    assert out.sharding.spec[0] == "data", out.sharding
+    hlo = fwd.lower(sharded).compile().as_text()
+    assert not re.search("all-gather|all-to-all", hlo), "operands gathered"
+
+    # gradient path partitions too
+    w = jax.random.normal(jax.random.key(4), (67, c))
+
+    @jax.jit
+    def grad(qkv):
+        return jax.grad(
+            lambda q: jnp.sum(packed_attention_slab(q, 4) * w))(qkv)
+
+    g = grad(sharded)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(packed_reference_attention(
+            q[..., :c], q[..., c:2 * c], q[..., 2 * c:], 4) * w))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+    hlo = grad.lower(sharded).compile().as_text()
+    assert not re.search("all-gather|all-to-all", hlo), "bwd gathered"

@@ -150,3 +150,40 @@ def test_same_size_replacement_invalidates_cache(tmp_path):
     os.utime(index.paths[0], ns=(1, 1))  # same bytes, different mtime
     c2 = CanvasCache(index, (32, 32))
     assert c2.hit_rate() == 0.0
+
+
+def test_crashed_writer_resets_done_map(tmp_path):
+    """A dirty-marker left by a DEAD writer process must reset the done map
+    (the kernel may have persisted done=1 flags before their canvas pages)."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    c1.store(np.arange(len(index)), np.full((len(index), 32, 32, 3), 7, np.uint8))
+    assert c1.hit_rate() == 1.0
+    # same-process reopen (dirty marker carries OUR pid): hits survive
+    c2 = CanvasCache(index, (32, 32))
+    assert c2.hit_rate() == 1.0
+    # simulate a crashed foreign writer: dead pid in the dirty marker
+    with open(c2._dirty_path, "w") as f:
+        f.write("999999999")
+    c3 = CanvasCache(index, (32, 32))
+    assert c3.hit_rate() == 0.0
+
+
+def test_cache_requires_free_disk(tmp_path, monkeypatch):
+    """Creating a cache bigger than the free disk must raise a clear error
+    instead of SIGBUS-ing mid-epoch on a sparse file."""
+    from touhouimageclassification_tpu.data import canvas_cache as cc
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+
+    class FakeStat:
+        f_bavail = 1
+        f_frsize = 512  # 512 bytes free
+
+    monkeypatch.setattr(cc.os, "statvfs", lambda _: FakeStat())
+    with pytest.raises(RuntimeError, match="free"):
+        cc.CanvasCache(index, (32, 32))

@@ -44,6 +44,12 @@ def _fingerprint(index: ImageFolderIndex) -> str:
     return h.hexdigest()
 
 
+# Bumped when decode output changes for identical inputs (IDCT method,
+# upsampling, resize kernel): cached canvases from an older decoder must
+# not serve as hits for the new one.
+DECODER_VERSION = "islow-fancy-1"
+
+
 class CanvasCache:
     def __init__(self, index: ImageFolderIndex, canvas: tuple[int, int],
                  cache_dir: str | None = None):
@@ -54,7 +60,24 @@ class CanvasCache:
         tag = f"{self.canvas[0]}x{self.canvas[1]}"
         self._data_path = os.path.join(root, f"{tag}.data")
         self._done_path = os.path.join(root, f"{tag}.done")
+        self._dirty_path = os.path.join(root, f"{tag}.dirty")
         meta_path = os.path.join(root, f"{tag}.json")
+
+        need_bytes = n * self.canvas[0] * self.canvas[1] * 3
+        have = os.path.exists(self._data_path)
+        if not have:
+            st = os.statvfs(root)
+            free = st.f_bavail * st.f_frsize
+            if free < need_bytes * 1.05:
+                # np.memmap would happily create a sparse file and the
+                # process would later die with an uncatchable SIGBUS when
+                # the filesystem can't back a written page
+                raise RuntimeError(
+                    f"canvas cache needs ~{need_bytes / 1e9:.1f} GB but only "
+                    f"{free / 1e9:.1f} GB free under {root}; freeing space "
+                    "or disabling TrainConfig.canvas_cache avoids a mid-"
+                    "epoch SIGBUS"
+                )
 
         fp = _fingerprint(index)
         meta = None
@@ -65,13 +88,15 @@ class CanvasCache:
             except (OSError, ValueError):
                 meta = None
         if (meta is None or meta.get("fingerprint") != fp
-                or meta.get("n") != n):
+                or meta.get("n") != n
+                or meta.get("decoder") != DECODER_VERSION):
             for p in (self._data_path, self._done_path):
                 if os.path.exists(p):
                     os.remove(p)
             with open(meta_path, "w") as f:
                 json.dump({"fingerprint": fp, "n": n,
-                           "canvas": list(self.canvas)}, f)
+                           "canvas": list(self.canvas),
+                           "decoder": DECODER_VERSION}, f)
 
         shape = (n, *self.canvas, 3)
         data_fresh = not os.path.exists(self._data_path)
@@ -80,11 +105,51 @@ class CanvasCache:
         mode = "r+" if os.path.exists(self._done_path) else "w+"
         self.done = np.memmap(self._done_path, dtype=np.uint8, mode=mode,
                               shape=(n,))
-        if data_fresh:
-            # a surviving done-map without its data file (e.g. the ~26 GB
-            # .data deleted to reclaim disk) must not mark the zero-filled
-            # fresh data as hits
+        if data_fresh or self._crashed_dirty():
+            # data_fresh: a surviving done-map without its data file (e.g.
+            # the ~26 GB .data deleted to reclaim disk) must not mark the
+            # zero-filled fresh data as hits. crashed_dirty: a writer died
+            # mid-fill and the kernel may have written back the small hot
+            # done page before the canvas pages it flags — done=1 slots
+            # could front unwritten (zero) pixels, so refill from scratch.
             self.done[:] = 0
+        self._mark_dirty()
+
+    def _crashed_dirty(self) -> bool:
+        if not os.path.exists(self._dirty_path):
+            return False
+        try:
+            with open(self._dirty_path) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return True
+        if pid == os.getpid():
+            return False  # another loader in THIS live process
+        try:
+            os.kill(pid, 0)
+            return False  # writer process still alive (shared cache)
+        except ProcessLookupError:
+            return True   # writer died without a clean shutdown
+        except PermissionError:
+            return False
+
+    def _mark_dirty(self) -> None:
+        import atexit
+
+        with open(self._dirty_path, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(self._mark_clean)
+
+    def _mark_clean(self) -> None:
+        # flush canvases BEFORE removing the dirty marker so the marker's
+        # absence really does imply the data pages are durable
+        try:
+            self.data.flush()
+            self.done.flush()
+            if os.path.exists(self._dirty_path):
+                os.remove(self._dirty_path)
+        except OSError:
+            pass
 
     def hit_rate(self) -> float:
         return float(np.mean(self.done != 0))

@@ -147,7 +147,8 @@ class Attention(nn.Module):
             from ..ops.attention import _reference_attention
 
             out = jax.checkpoint(_reference_attention)(q, k, v)
-        else:
+        elif cfg.attention_impl in ("xla", "fused"):
+            # 'fused' lands here only with attention_dropout_rate > 0
             scale = hd ** -0.5
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -157,6 +158,11 @@ class Attention(nn.Module):
                     probs, deterministic=deterministic
                 )
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            raise ValueError(
+                f"Unknown attention_impl {cfg.attention_impl!r}; expected "
+                "'fused' | 'flash' | 'xla' | 'xla_remat'"
+            )
 
         out = out.reshape(b, n, d)
         out = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)

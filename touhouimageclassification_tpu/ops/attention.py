@@ -395,7 +395,7 @@ def _slab_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
     ).astype(dqkv_ref.dtype)
 
 
-def _slab_forward(qkv, num_heads):
+def _slab_forward_impl(qkv, num_heads):
     b, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5
@@ -415,7 +415,7 @@ def _slab_forward(qkv, num_heads):
     )(qkv)
 
 
-def _slab_backward(qkv, g, num_heads):
+def _slab_backward_impl(qkv, g, num_heads):
     b, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5
@@ -433,6 +433,95 @@ def _slab_backward(qkv, g, num_heads):
         out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
         interpret=pltpu_compat.should_interpret(),
     )(qkv, g)
+
+
+# --- SPMD partitioning ------------------------------------------------------
+#
+# A pallas_call lowers to a Mosaic custom call that GSPMD/Shardy cannot
+# partition on its own: under jit with a batch-sharded mesh the partitioner
+# would all-gather the operands onto every device. The kernels are
+# embarrassingly batch-parallel (grid over images), so both directions are
+# wrapped in jax.experimental.custom_partitioning with a dim-0-only rule:
+# the batch axis follows the operand sharding, every other dim is forced
+# replicated, and each shard lowers to the same pallas_call on its local
+# batch. Exercised on the multi-device CPU mesh in tests/test_attention.py
+# (interpret mode) — the HLO is asserted free of all-gathers.
+
+
+def _dim0_only(mesh, sharding, rank):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = getattr(sharding, "spec", None)
+    first = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(first, *([None] * (rank - 1))))
+
+
+def _def_batch_partition(cp, raw_fn, rule, **factor_kw):
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        shardings = [a.sharding for a in arg_shapes]
+        best = next((s for s in shardings
+                     if getattr(s, "spec", None) and len(s.spec) > 0
+                     and s.spec[0] is not None), shardings[0])
+        return jax.tree_util.tree_map(
+            lambda r: _dim0_only(mesh, best, len(r.shape)), result_shape)
+
+    def propagate_user_sharding(mesh, user_shape):
+        return jax.tree_util.tree_map(
+            lambda u: _dim0_only(mesh, u.sharding, len(u.shape)), user_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _dim0_only(mesh, a.sharding, len(a.shape)) for a in arg_shapes)
+        result_shardings = jax.tree_util.tree_map(
+            lambda r: _dim0_only(mesh, arg_shardings[0], len(r.shape)),
+            result_shape)
+
+        return mesh, raw_fn, result_shardings, arg_shardings
+
+    cp.def_partition(
+        partition,
+        propagate_user_sharding=propagate_user_sharding,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        **factor_kw,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_forward_for(num_heads: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def fwd(qkv):
+        return _slab_forward_impl(qkv, num_heads)
+
+    cp = custom_partitioning(fwd)
+    return _def_batch_partition(
+        cp, fwd, "b n c3 -> b n c",
+        need_replication_factors=("n", "c3", "c"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_backward_for(num_heads: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def bwd(qkv, g):
+        return _slab_backward_impl(qkv, g, num_heads)
+
+    cp = custom_partitioning(bwd)
+    return _def_batch_partition(
+        cp, bwd, "b n c3, b n c -> b n c3",
+        need_replication_factors=("n", "c3", "c"),
+    )
+
+
+def _slab_forward(qkv, num_heads):
+    return _slab_forward_for(num_heads)(qkv)
+
+
+def _slab_backward(qkv, g, num_heads):
+    return _slab_backward_for(num_heads)(qkv, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
