@@ -263,3 +263,32 @@ def test_slab_partitions_over_batch_mesh(monkeypatch):
                                atol=1e-4, rtol=1e-4)
     hlo = grad.lower(sharded).compile().as_text()
     assert not re.search("all-gather|all-to-all", hlo), "bwd gathered"
+
+
+def test_slab_under_vmap_matches_reference(monkeypatch):
+    """nn.vmap-stacked experts (MoE/TreeViT) vmap the whole attention call;
+    the partitioned slab wrapper must batch via its custom_vmap rule
+    (custom_partitioning itself has no batching rule)."""
+    monkeypatch.setenv("TIC_PALLAS_INTERPRET", "1")
+    from touhouimageclassification_tpu.ops.attention import (
+        packed_attention_slab, packed_reference_attention)
+    c = 4 * 16
+    qkv = jax.random.normal(jax.random.key(12), (3, 2, 33, 3 * c))  # (E, B, N, 3C)
+
+    out = jax.vmap(lambda q: packed_attention_slab(q, 4))(qkv)
+    ref = jax.vmap(lambda q: packed_reference_attention(
+        q[..., :c], q[..., c:2 * c], q[..., 2 * c:], 4))(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    # gradient under vmap (the sons/experts train path)
+    w = jax.random.normal(jax.random.key(13), (33, c))
+
+    def loss(fn, q):
+        return jnp.sum(jax.vmap(fn)(q) * w)
+
+    g = jax.grad(lambda q: loss(lambda x: packed_attention_slab(x, 4), q))(qkv)
+    g_ref = jax.grad(lambda q: loss(lambda x: packed_reference_attention(
+        x[..., :c], x[..., c:2 * c], x[..., 2 * c:], 4), q))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)

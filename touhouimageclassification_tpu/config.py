@@ -113,11 +113,15 @@ class ViTConfig:
     dropout_rate: float = 0.0
     attention_dropout_rate: float = 0.0
     layer_norm_eps: float = 1e-12   # HF ViT default
-    # 'fused' (default) = packed-layout Pallas kernel on TPU (fwd+bwd kernels,
-    # no reshape glue; measured 290 vs 242 img/s on the ViT-L train step) with
-    # an XLA fallback off-TPU and when attention_dropout_rate > 0;
-    # 'flash' = (B,N,H,D) Pallas kernel, 'xla' = plain dot-product,
-    # 'xla_remat' = XLA with recomputed-backward attention
+    # 'fused' (default) = slab-form Pallas kernels on TPU (fwd+bwd consume
+    # the (B,N,3C) QKV tensor directly; part of the 242 -> 332 img/s ViT-L
+    # train-step progression) with an XLA fallback off-TPU and when
+    # attention_dropout_rate > 0; SPMD-partitionable over a batch-sharded
+    # mesh (custom_partitioning, ops/attention.py).
+    # 'flash' = legacy (B,N,H,D) Pallas kernel — single-device only (no
+    # partitioning rule; a sharded mesh would all-gather its operands);
+    # 'xla' = plain dot-product, 'xla_remat' = XLA with recomputed-backward
+    # attention (both partition natively).
     attention_impl: str = "fused"
     # fused Pallas patch-embed kernel toggle
     patch_embed_impl: str = "xla"

@@ -516,12 +516,68 @@ def _slab_backward_for(num_heads: int):
     )
 
 
+# custom_partitioning has NO batching rule, but the MoE/TreeViT expert
+# stacks vmap the whole ViT (nn.vmap over experts) — so the partitioned
+# calls are wrapped in custom_vmap whose rule flattens the mapped axis into
+# the kernel's batch grid (the kernels are batch-parallel, so vmap IS a
+# reshape) and calls the raw implementation. Un-vmapped calls still take
+# the SPMD-partitionable path.
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_forward_vmappable(num_heads: int):
+    from jax.custom_batching import custom_vmap
+
+    part = _slab_forward_for(num_heads)
+
+    @custom_vmap
+    def f(qkv):
+        return part(qkv)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, qkv):
+        del axis_size
+        e, b, n, c3 = qkv.shape
+        out = _slab_forward_impl(qkv.reshape(e * b, n, c3), num_heads)
+        return out.reshape(e, b, n, c3 // 3), True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_backward_vmappable(num_heads: int):
+    from jax.custom_batching import custom_vmap
+
+    part = _slab_backward_for(num_heads)
+
+    @custom_vmap
+    def f(qkv, g):
+        return part(qkv, g)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, qkv, g):
+        del axis_size
+        qkv_b, g_b = in_batched
+        e = qkv.shape[0] if qkv_b else g.shape[0]
+        if not qkv_b:
+            qkv = jnp.broadcast_to(qkv[None], (e, *qkv.shape))
+        if not g_b:
+            g = jnp.broadcast_to(g[None], (e, *g.shape))
+        _, b, n, c3 = qkv.shape
+        out = _slab_backward_impl(
+            qkv.reshape(e * b, n, c3), g.reshape(e * b, n, c3 // 3),
+            num_heads)
+        return out.reshape(e, b, n, c3), True
+
+    return f
+
+
 def _slab_forward(qkv, num_heads):
-    return _slab_forward_for(num_heads)(qkv)
+    return _slab_forward_vmappable(num_heads)(qkv)
 
 
 def _slab_backward(qkv, g, num_heads):
-    return _slab_backward_for(num_heads)(qkv, g)
+    return _slab_backward_vmappable(num_heads)(qkv, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
