@@ -24,12 +24,12 @@ BASELINE_IMG_PER_SEC = 67.0  # RTX 3080 reference point (BASELINE.md)
 
 def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
                 scan: int = 8, attn: str | None = None,
-                gelu: str | None = None) -> float:
+                gelu: str | None = None, model: str = "vit-large") -> float:
     import jax
 
     from touhouimageclassification_tpu.config import (
         AugmentConfig, CheckpointConfig, MixConfig, OptimizerConfig, TrainConfig,
-        VIT_LARGE,
+        VIT_BASE, VIT_LARGE,
     )
     import dataclasses
 
@@ -41,9 +41,10 @@ def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
 
     n_dev = len(jax.devices())
     mesh = create_mesh(num_data=n_dev)
+    base_cfg = VIT_BASE if model == "vit-base" else VIT_LARGE
     cfg = TrainConfig(
         train_id="bench",
-        model_type="vit-large",
+        model_type=model,
         global_batch_size=batch,
         optimizer=OptimizerConfig(name="adamw", learning_rate=1e-5, weight_decay=0.01),
         augment=AugmentConfig(),
@@ -59,8 +60,8 @@ def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
         overrides["attention_impl"] = attn
     if gelu:
         overrides["gelu"] = gelu
-    model = ViT(dataclasses.replace(VIT_LARGE, **overrides))
-    trainer = Trainer(cfg, model=model, mesh=mesh)
+    vit = ViT(dataclasses.replace(base_cfg, **overrides))
+    trainer = Trainer(cfg, model=vit, mesh=mesh)
     state = trainer.init_state(steps_per_epoch=100)
 
     rng = np.random.default_rng(0)
@@ -310,6 +311,9 @@ def main():
     parser.add_argument("--gelu", type=str, default=None,
                         choices=["exact", "fast", "poly", "tanh"],
                         help="GELU variant override for the train bench")
+    parser.add_argument("--model", type=str, default="vit-large",
+                        choices=["vit-large", "vit-base"],
+                        help="train-bench model (vit-base = the filter judge)")
     parser.add_argument("--real-data", action="store_true",
                         help="also run the end-to-end input-pipeline bench "
                              "(host JPEG decode -> prefetch -> train step)")
@@ -330,12 +334,16 @@ def main():
         return
 
     img_s = bench_train(args.batch, args.steps, remat=args.remat, scan=args.scan,
-                        attn=args.attn, gelu=args.gelu)
+                        attn=args.attn, gelu=args.gelu, model=args.model)
     print(json.dumps({
-        "metric": "vit_large_finetune_images_per_sec_per_chip",
+        "metric": f"{args.model.replace('-', '_')}_finetune_images_per_sec_per_chip",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(img_s / BASELINE_IMG_PER_SEC, 2),
+        # the 67 img/s reference point is the ViT-Large epoch time; no
+        # ViT-Base throughput is published, so the ratio only means
+        # something for the flagship
+        "vs_baseline": (round(img_s / BASELINE_IMG_PER_SEC, 2)
+                        if args.model == "vit-large" else None),
     }))
     if args.serve:
         p50, device_ms = bench_serve_latency()
