@@ -621,15 +621,3 @@ def packed_reference_attention(q, k, v, num_heads: int):
     return out.reshape(b, n, c)
 
 
-def packed_attention_auto(q, k, v, num_heads: int):
-    """Production dispatch for ``attention_impl='fused'``: the Pallas kernel
-    on TPU backends; the mathematically-identical XLA path elsewhere
-    (interpreted Pallas is a numerics-testing device, far too slow for real
-    CPU inference). ``TIC_PALLAS_INTERPRET=1`` forces the interpreted kernel
-    so tests can drive the kernel through the full model off-TPU."""
-    import os
-
-    if (pltpu_compat.should_interpret()
-            and os.environ.get("TIC_PALLAS_INTERPRET") != "1"):
-        return packed_reference_attention(q, k, v, num_heads)
-    return packed_attention(q, k, v, num_heads)
