@@ -172,6 +172,61 @@ def test_crashed_writer_resets_done_map(tmp_path):
     assert c3.hit_rate() == 0.0
 
 
+def test_per_pid_dirty_markers(tmp_path):
+    """Per-process markers: a dead foreign writer's marker triggers a reset
+    and is consumed; our own / live markers are ignored; one writer's clean
+    exit never clobbers another's marker (the old single-file protocol's
+    hole)."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    c1.store(np.arange(len(index)), np.full((len(index), 32, 32, 3), 7, np.uint8))
+    assert os.path.exists(f"{c1._dirty_path}.{os.getpid()}")
+
+    # dead foreign writer alongside our live marker
+    stale = f"{c1._dirty_path}.999999999"
+    with open(stale, "w"):
+        pass
+    c2 = CanvasCache(index, (32, 32))
+    assert c2.hit_rate() == 0.0          # reset triggered
+    assert not os.path.exists(stale)     # stale marker consumed
+    assert os.path.exists(f"{c1._dirty_path}.{os.getpid()}")  # ours survives
+
+    # clean exit removes only OUR marker
+    c2._mark_clean()
+    foreign = f"{c2._dirty_path}.999999998"
+    with open(foreign, "w"):
+        pass
+    c2._mark_dirty()
+    c2._mark_clean()
+    assert os.path.exists(foreign)
+
+
+def test_free_space_guard_applies_to_stale_rebuild(tmp_path, monkeypatch):
+    """A stale cache being REBUILT (fingerprint mismatch) re-enters the
+    create path, so the free-space guard must fire then too — not only when
+    no .data file existed at entry (advisor round-2 finding)."""
+    from touhouimageclassification_tpu.data import canvas_cache as cc
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    cc.CanvasCache(index, (32, 32))  # valid cache exists on disk
+
+    # dataset grows -> fingerprint mismatch -> rebuild path
+    make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=6, size=40, seed=3)
+    index2 = scan_image_folder(root, persist_class_map=False)
+
+    class FakeStat:
+        f_bavail = 1
+        f_frsize = 512
+
+    monkeypatch.setattr(cc.os, "statvfs", lambda _: FakeStat())
+    with pytest.raises(RuntimeError, match="free"):
+        cc.CanvasCache(index2, (32, 32))
+
+
 def test_cache_requires_free_disk(tmp_path, monkeypatch):
     """Creating a cache bigger than the free disk must raise a clear error
     instead of SIGBUS-ing mid-epoch on a sparse file."""

@@ -121,6 +121,64 @@ def test_mixup_path_in_trainer(dataset, tmp_path):
     assert np.isfinite(history[0]["train_loss"])
 
 
+def test_window_early_exit_matches_reference_rule():
+    """window_early_exit reproduces TIC/ViT/finetune.py:79-91 exactly:
+    compare against the value just before the window, ties = no improvement,
+    never fire while len(timeline) < patience."""
+    from touhouimageclassification_tpu.train.trainer import window_early_exit
+
+    # reference oracle, transcribed (mode='min' losses)
+    def ref(timeline, n):
+        if len(timeline) < n:
+            return False
+        w = timeline[-(n + 1):]
+        return all(loss >= w[0] for loss in w[1:])
+
+    import itertools
+    import random
+
+    rng = random.Random(0)
+    for n in (1, 2, 3):
+        for length in range(0, 7):
+            for _ in range(30):
+                tl = [round(rng.uniform(0, 1), 2) for _ in range(length)]
+                assert window_early_exit(tl, n, "min") == ref(tl, n), (tl, n)
+    # the comparison point slides: a dip below window-start but above the
+    # global best STILL resets the window (patience-from-best would stop)
+    tl = [1.0, 5.0, 4.0, 4.5, 4.6]
+    assert not window_early_exit(tl, 3, "min")
+    # max mode mirrors
+    assert window_early_exit([0.5, 0.5, 0.4, 0.3], 3, "max")
+    assert not window_early_exit([0.5, 0.5, 0.6, 0.3], 3, "max")
+    # patience=0 disables
+    assert not window_early_exit([3, 2, 1], 0, "min")
+
+
+def test_checkpoint_retention_caps_every_n(tmp_path):
+    """Union retention: top-k by metric + newest top_k of every-N epochs +
+    the latest epoch — every-N keeps must NOT grow without bound
+    (reference ntrain.py:230-236 keeps only the last 3 of every-3)."""
+    import jax.numpy as jnp
+
+    from touhouimageclassification_tpu.train.checkpoint import CheckpointManager
+
+    cfg = CheckpointConfig(directory=str(tmp_path), top_k=3, monitor="val_acc",
+                           mode="max", every_n_epochs=3, async_save=False)
+    mgr = CheckpointManager(cfg, "run")
+    accs = {1: .2, 2: .9, 3: .3, 4: .85, 5: .4, 6: .41, 7: .42, 8: .88,
+            9: .1, 10: .05, 11: .06}
+    state = {"w": jnp.zeros((2,))}
+    for ep, acc in accs.items():
+        mgr.save(ep, state, {"val_acc": acc})
+    mgr.wait()
+    kept = set(mgr._mgr.all_steps())
+    # top-3 by val_acc = {2,4,8}; newest 3 multiples of 3 = {3,6,9}; latest=11
+    assert kept == {2, 3, 4, 6, 8, 9, 11}, kept
+    assert mgr.best_epoch() == 2
+    assert mgr.latest_epoch() == 11
+    mgr.close()
+
+
 def test_loader_early_break_releases_producer(dataset):
     """Breaking out of a loader mid-epoch must not wedge the producer thread
     (review finding: q.put blocked forever on a full queue)."""

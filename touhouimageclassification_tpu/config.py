@@ -321,6 +321,12 @@ class TrainConfig:
     early_stop_patience: int = 3        # EarlyStopping(patience=3), ntrain.py:237-238
     early_stop_monitor: str = "val_acc"
     early_stop_mode: str = "max"
+    # False (default): Lightning EarlyStopping semantics — patience epochs
+    # since the GLOBAL best (ntrain.py:237-238). True: the hand-rolled
+    # loops' window rule (finetune.py:79-91 / pretrain.py / ResNet/train.py)
+    # — stop when none of the last `patience` epochs improved on the value
+    # recorded just before that window (global best is irrelevant).
+    early_stop_window: bool = False
     log_dir: str = LOG_DIR
     # jax.profiler trace dir for the first profiled epoch; '' = off (the
     # reference's disabled-by-default profiler knob, TIC/ResMoE/parameter.py:14)
@@ -387,7 +393,10 @@ PRESETS: Mapping[str, TrainConfig] = {
         ),
         augment=AugmentConfig(enable_augmentation=False),
         mix=MixConfig(enable_mixup=False),
-        early_stop_patience=5,
+        # finetune.py:288 sets MAX_TOLERANT_EPOCH = NUM_EPOCHS, i.e. the
+        # window early-exit is wired but effectively disabled for this run
+        early_stop_patience=40,
+        early_stop_window=True,
         early_stop_monitor="val_loss",
         early_stop_mode="min",
     ),
@@ -405,7 +414,8 @@ PRESETS: Mapping[str, TrainConfig] = {
         optimizer=OptimizerConfig(name="adamw", learning_rate=1e-4, weight_decay=0.01),
         augment=AugmentConfig(enable_augmentation=False),
         mix=MixConfig(enable_mixup=False),
-        early_stop_patience=3,
+        early_stop_patience=3,          # MAX_TOLERANT_EPOCH=3, pretrain.py:289
+        early_stop_window=True,
         early_stop_monitor="val_loss",
         early_stop_mode="min",
     ),
@@ -426,6 +436,8 @@ PRESETS: Mapping[str, TrainConfig] = {
         ),
         augment=AugmentConfig(enable_augmentation=False),
         mix=MixConfig(enable_mixup=False),
+        early_stop_patience=3,          # MAX_TOLERANT_EPOCH=3, ResNet/train.py:221
+        early_stop_window=True,
         early_stop_monitor="val_loss",
         early_stop_mode="min",
     ),

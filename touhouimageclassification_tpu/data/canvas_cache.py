@@ -20,9 +20,12 @@ Space: ~N * h * w * 3 bytes (the reference's 132k-image corpus at 256² is
 """
 from __future__ import annotations
 
+import atexit
+import glob
 import hashlib
 import json
 import os
+import weakref
 
 import numpy as np
 
@@ -50,6 +53,26 @@ def _fingerprint(index: ImageFolderIndex) -> str:
 DECODER_VERSION = "islow-fancy-1"
 
 
+# One process-wide atexit hook over a weak set of live caches: registering
+# a bound method per instance would pin every CanvasCache (and its memmaps)
+# alive for the process lifetime.
+_LIVE_CACHES: "weakref.WeakSet[CanvasCache]" = weakref.WeakSet()
+_ATEXIT_INSTALLED = False
+
+
+def _clean_live_caches() -> None:
+    for cache in list(_LIVE_CACHES):
+        cache._mark_clean()
+
+
+def _register_cache(cache: "CanvasCache") -> None:
+    global _ATEXIT_INSTALLED
+    _LIVE_CACHES.add(cache)
+    if not _ATEXIT_INSTALLED:
+        atexit.register(_clean_live_caches)
+        _ATEXIT_INSTALLED = True
+
+
 class CanvasCache:
     def __init__(self, index: ImageFolderIndex, canvas: tuple[int, int],
                  cache_dir: str | None = None):
@@ -62,22 +85,6 @@ class CanvasCache:
         self._done_path = os.path.join(root, f"{tag}.done")
         self._dirty_path = os.path.join(root, f"{tag}.dirty")
         meta_path = os.path.join(root, f"{tag}.json")
-
-        need_bytes = n * self.canvas[0] * self.canvas[1] * 3
-        have = os.path.exists(self._data_path)
-        if not have:
-            st = os.statvfs(root)
-            free = st.f_bavail * st.f_frsize
-            if free < need_bytes * 1.05:
-                # np.memmap would happily create a sparse file and the
-                # process would later die with an uncatchable SIGBUS when
-                # the filesystem can't back a written page
-                raise RuntimeError(
-                    f"canvas cache needs ~{need_bytes / 1e9:.1f} GB but only "
-                    f"{free / 1e9:.1f} GB free under {root}; freeing space "
-                    "or disabling TrainConfig.canvas_cache avoids a mid-"
-                    "epoch SIGBUS"
-                )
 
         fp = _fingerprint(index)
         meta = None
@@ -98,6 +105,25 @@ class CanvasCache:
                            "canvas": list(self.canvas),
                            "decoder": DECODER_VERSION}, f)
 
+        # free-space guard AFTER invalidation: a stale cache being rebuilt
+        # (dataset grew, decoder bumped) re-enters the create path with the
+        # old file's bytes just reclaimed, so `have` must be re-evaluated
+        # here, not before the invalidation block
+        need_bytes = n * self.canvas[0] * self.canvas[1] * 3
+        if not os.path.exists(self._data_path):
+            st = os.statvfs(root)
+            free = st.f_bavail * st.f_frsize
+            if free < need_bytes * 1.05:
+                # np.memmap would happily create a sparse file and the
+                # process would later die with an uncatchable SIGBUS when
+                # the filesystem can't back a written page
+                raise RuntimeError(
+                    f"canvas cache needs ~{need_bytes / 1e9:.1f} GB but only "
+                    f"{free / 1e9:.1f} GB free under {root}; freeing space "
+                    "or disabling TrainConfig.canvas_cache avoids a mid-"
+                    "epoch SIGBUS"
+                )
+
         shape = (n, *self.canvas, 3)
         data_fresh = not os.path.exists(self._data_path)
         self.data = np.memmap(self._data_path, dtype=np.uint8,
@@ -116,39 +142,70 @@ class CanvasCache:
         self._mark_dirty()
 
     def _crashed_dirty(self) -> bool:
-        if not os.path.exists(self._dirty_path):
-            return False
+        """True if ANY past writer of this cache died mid-fill.
+
+        Markers are per-process files (``<tag>.dirty.<pid>``) so concurrent
+        writers never clobber each other's marker, and one writer's clean
+        exit cannot erase another's in-progress marker (the multi-process
+        holes of the original single-file protocol). Stale markers from dead
+        writers are consumed (removed) here, after which the caller refills
+        the done-map from scratch. A legacy single-file ``<tag>.dirty``
+        (pid in content) from an older cache version is honored the same way.
+        """
+        crashed = False
+        pattern = glob.glob(self._dirty_path + ".*") + (
+            [self._dirty_path] if os.path.exists(self._dirty_path) else []
+        )
+        for path in pattern:
+            suffix = path[len(self._dirty_path):]
+            if suffix.startswith("."):
+                try:
+                    pid = int(suffix[1:])
+                except ValueError:
+                    crashed = True
+                    self._remove_quiet(path)
+                    continue
+            else:  # legacy single-file marker: pid stored in the content
+                try:
+                    with open(path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    crashed = True
+                    self._remove_quiet(path)
+                    continue
+            if pid == os.getpid():
+                continue  # another loader in THIS live process
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                crashed = True  # writer died without a clean shutdown
+                self._remove_quiet(path)
+            except PermissionError:
+                pass  # pid exists (owned by someone else): writer alive
+        return crashed
+
+    @staticmethod
+    def _remove_quiet(path: str) -> None:
         try:
-            with open(self._dirty_path) as f:
-                pid = int(f.read().strip() or "0")
-        except (OSError, ValueError):
-            return True
-        if pid == os.getpid():
-            return False  # another loader in THIS live process
-        try:
-            os.kill(pid, 0)
-            return False  # writer process still alive (shared cache)
-        except ProcessLookupError:
-            return True   # writer died without a clean shutdown
-        except PermissionError:
-            return False
+            os.remove(path)
+        except OSError:
+            pass
 
     def _mark_dirty(self) -> None:
-        import atexit
-
-        with open(self._dirty_path, "w") as f:
-            f.write(str(os.getpid()))
-        atexit.register(self._mark_clean)
+        self._own_dirty_path = f"{self._dirty_path}.{os.getpid()}"
+        with open(self._own_dirty_path, "w") as f:
+            f.write("")
+        _register_cache(self)
 
     def _mark_clean(self) -> None:
         # flush canvases BEFORE removing the dirty marker so the marker's
-        # absence really does imply the data pages are durable
+        # absence really does imply the data pages are durable; only THIS
+        # process's marker is removed — other live writers stay dirty
         try:
             self.data.flush()
             self.done.flush()
-            if os.path.exists(self._dirty_path):
-                os.remove(self._dirty_path)
-        except OSError:
+            self._remove_quiet(self._own_dirty_path)
+        except (OSError, ValueError):
             pass
 
     def hit_rate(self) -> float:

@@ -46,6 +46,19 @@ def scan_image_folder(root: str, persist_class_map: bool = True) -> ImageFolderI
         # when a dataset is rescanned after an epoch ran with caching on
         if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
     )
+    for d in os.listdir(root):
+        # torchvision ImageFolder WOULD have treated a hidden dir as a class;
+        # make the (intentional) divergence visible instead of silently
+        # shifting label ids for datasets that legitimately used one
+        if (d.startswith(".") and d != ".tic_canvas_cache"
+                and os.path.isdir(os.path.join(root, d))):
+            import warnings
+
+            warnings.warn(
+                f"ignoring hidden directory {d!r} under {root}: hidden dirs "
+                "are never classes (unlike torchvision ImageFolder)",
+                stacklevel=2,
+            )
     if not classes:
         raise FileNotFoundError(f"No class subdirectories under {root}")
     class_to_idx = {c: i for i, c in enumerate(classes)}

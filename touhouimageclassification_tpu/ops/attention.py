@@ -601,7 +601,12 @@ packed_attention_slab.defvjp(_slab_fwd_rule, _slab_bwd_rule)
 
 
 def packed_attention_slab_auto(qkv, num_heads: int):
-    """Production dispatch for the slab form (see packed_attention_auto)."""
+    """Production dispatch for the slab form: the Pallas kernel pair on TPU
+    backends, the XLA reference path on others (where the kernel would only
+    run in the slow interpreter). Setting ``TIC_PALLAS_INTERPRET=1`` forces
+    the kernel even off-TPU so CPU tests exercise the real code path —
+    including its custom_partitioning/custom_vmap wrappers, which the XLA
+    fallback never touches."""
     import os
 
     if (pltpu_compat.should_interpret()

@@ -13,13 +13,35 @@ model_state / step plus metrics, with
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
+from orbax.checkpoint.checkpoint_managers import preservation_policy as _pp
 
 from ..config import CheckpointConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class _LastNOfEveryK:
+    """Keep only the last ``n`` of the every-``k``-epochs checkpoints.
+
+    The reference's second ModelCheckpoint monitors 'epoch' with
+    ``save_top_k=3, every_n_epochs=3`` (``TIC/ViT/ntrain.py:230-236``), i.e.
+    the 3 NEWEST every-3rd-epoch saves — Orbax's ``keep_period`` instead
+    preserves every k-th step forever, growing disk without bound over a
+    long run. This policy caps it to the reference semantics.
+    """
+
+    k: int
+    n: int
+
+    def should_preserve(self, checkpoints, *, context):
+        periodic = sorted(c.step for c in checkpoints if c.step % self.k == 0)
+        keep = set(periodic[-self.n:])
+        return [c.step in keep for c in checkpoints]
 
 
 class CheckpointManager:
@@ -31,11 +53,27 @@ class CheckpointManager:
         self.directory = os.path.abspath(
             directory if directory else os.path.join(cfg.directory, run_name)
         )
+        # retention = union of (a) top-k by the monitored metric
+        # (ModelCheckpoint(save_top_k=3, monitor='val_acc'), ntrain.py:221-229),
+        # (b) newest top_k of every-N-epoch saves (ntrain.py:230-236), and
+        # (c) the latest epoch, so filesystem auto-resume never loses ground
+        # even when the newest epoch is neither a top-k nor an every-N save
+        policies: list[Any] = [_pp.LatestN(n=1)]
+        if cfg.monitor:
+            monitor = cfg.monitor
+            policies.append(_pp.BestN(
+                get_metric_fn=lambda m: float(m[monitor]),
+                reverse=(cfg.mode == "min"),  # ascending sort keeps largest
+                n=cfg.top_k,
+            ))
+        else:
+            policies.append(_pp.LatestN(n=cfg.top_k))
+        if cfg.every_n_epochs:
+            policies.append(_LastNOfEveryK(k=cfg.every_n_epochs, n=cfg.top_k))
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=cfg.top_k,
+            preservation_policy=_pp.AnyPreservationPolicy(policies),
             best_fn=(lambda metrics: float(metrics[cfg.monitor])) if cfg.monitor else None,
             best_mode=cfg.mode,
-            keep_period=cfg.every_n_epochs or None,
             create=True,
             enable_async_checkpointing=cfg.async_save,
         )

@@ -48,6 +48,19 @@ from .checkpoint import CheckpointManager
 from .optim import build_optimizer, fast_global_norm
 
 
+def window_early_exit(timeline: list, patience: int, mode: str = "min") -> bool:
+    """The hand-rolled loops' early-exit rule (``finetune.py:79-91``): stop
+    when nothing in the last ``patience`` epochs improved on the value
+    recorded just before that window. The comparison point slides with the
+    window — the global best plays no role (unlike Lightning EarlyStopping).
+    Ties count as "not improved", as in the reference's ``loss >= start``."""
+    if not patience or len(timeline) < patience:
+        return False
+    sign = 1.0 if mode == "max" else -1.0
+    window = timeline[-(patience + 1):]
+    return all(sign * v <= sign * window[0] for v in window[1:])
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array
@@ -354,6 +367,7 @@ class Trainer:
         best = -math.inf if cfg.early_stop_mode == "max" else math.inf
         since_best = 0
         sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
+        timeline: list[float] = []
 
         profiled = False
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -413,7 +427,17 @@ class Trainer:
 
             if metric_key in record:
                 cur = record[metric_key]
-                if sign * cur > sign * best:
+                if cfg.early_stop_window:
+                    timeline.append(cur)
+                    if window_early_exit(timeline, cfg.early_stop_patience,
+                                         cfg.early_stop_mode):
+                        self.logger.info(
+                            "%s has not improved for %d epochs. "
+                            "Stopping training.", metric_key,
+                            cfg.early_stop_patience,
+                        )
+                        break
+                elif sign * cur > sign * best:
                     best = cur
                     since_best = 0
                 else:
