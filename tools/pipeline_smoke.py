@@ -11,6 +11,13 @@ fixture dataset with tiny models, exercising:
   6. serve a single image (infer.serve)
 
 Run on CPU: JAX_PLATFORMS=cpu python tools/pipeline_smoke.py
+
+Env knobs:
+- TIC_SMOKE_TINY=1     smaller fixture + fewer epochs (the CI-default mode,
+                       ~2 min on one CPU core; see tests/test_pipeline_smoke.py)
+- TIC_SMOKE_FORCE_CPU=1 force the CPU backend even when the default backend
+                       is a (possibly tunneled) TPU — CI must not depend on
+                       chip availability or remote-compile latency
 """
 import json
 import os
@@ -21,14 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+TINY = os.environ.get("TIC_SMOKE_TINY") == "1"
 
-def make_fixture(root, num_classes=3, per_class=14, size=40, seed=0):
+
+def make_fixture(root, num_classes=3, per_class=14, test_per_class=6,
+                 size=40, seed=0):
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     colors = rng.integers(40, 216, size=(num_classes, 3))
     names = [f"char_{c:02d}" for c in range(num_classes)]
-    for split, n in (("unfiltered", per_class), ("testset", 6)):
+    for split, n in (("unfiltered", per_class), ("testset", test_per_class)):
         for ci, name in enumerate(names):
             d = os.path.join(root, split, name)
             os.makedirs(d, exist_ok=True)
@@ -42,12 +52,17 @@ def make_fixture(root, num_classes=3, per_class=14, size=40, seed=0):
 def main():
     import jax
 
-    if jax.default_backend() not in ("tpu", "axon"):
+    if (os.environ.get("TIC_SMOKE_FORCE_CPU") == "1"
+            or jax.default_backend() not in ("tpu", "axon")):
         jax.config.update("jax_platforms", "cpu")
 
     work = os.path.abspath(os.environ.get("SMOKE_DIR", "/tmp/tic_pipeline_smoke"))
     shutil.rmtree(work, ignore_errors=True)
-    unfiltered, testset = make_fixture(work)
+    if TINY:
+        unfiltered, testset = make_fixture(work, per_class=8, test_per_class=4,
+                                           size=32)
+    else:
+        unfiltered, testset = make_fixture(work)
     ckpt_dir = os.path.join(work, "checkpoint")
     log_dir = os.path.join(work, "log")
     os.environ["TIC_CHECKPOINT_DIR"] = ckpt_dir
@@ -67,10 +82,13 @@ def main():
     import dataclasses
     import touhouimageclassification_tpu.train.cli as cli
 
+    judge_epochs = "2" if TINY else "4"
+    main_epochs = "4" if TINY else "6"
+
     print("=== 1) finetune the filter judge ===")
     finetune.main(["--tiny", "--no-pretrained", "--data-dir", unfiltered,
-                   "--max-epochs", "4", "--batch-size", "8", "--no-resume",
-                   "--lr", "3e-3", "--schedule", "constant"])
+                   "--max-epochs", judge_epochs, "--batch-size", "8",
+                   "--no-resume", "--lr", "3e-3", "--schedule", "constant"])
 
     print("=== 2) export the judge for serving ===")
     judge_dir = os.path.join(work, "serving", "judge")
@@ -92,7 +110,7 @@ def main():
 
     print("=== 4) main training on filtered data ===")
     ntrain.main(["--preset", "nvit", "--tiny", "--no-pretrained",
-                 "--data-dir", filtered, "--max-epochs", "6",
+                 "--data-dir", filtered, "--max-epochs", main_epochs,
                  "--batch-size", "8", "--no-resume", "--lr", "3e-3"])
     main_dir = os.path.join(work, "serving", "nvit")
     ntrain.main(["--preset", "nvit", "--tiny", "--no-pretrained",
