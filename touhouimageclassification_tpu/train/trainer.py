@@ -248,8 +248,25 @@ class Trainer:
 
         return train_step
 
+    def _with_ambient_mesh(self, fn: Callable) -> Callable:
+        """Run ``fn`` under ``jax.sharding.set_mesh(self.mesh)``: model-
+        internal sharding constraints (the MoE EP dispatch splitting expert
+        capacity over 'data', ``models/resmoe.py::_constrain``) resolve
+        against the ambient mesh at trace time. A no-op for models without
+        constraints; applied at the step level so every caller of the jitted
+        step (fit loop, tests, the multichip dryrun) gets it."""
+        mesh = self.mesh
+
+        def wrapped(*args):
+            with jax.sharding.set_mesh(mesh):
+                return fn(*args)
+
+        return wrapped
+
     def _make_train_step(self) -> Callable:
-        return jax.jit(self._train_step_body(), donate_argnums=(0,))
+        return self._with_ambient_mesh(
+            jax.jit(self._train_step_body(), donate_argnums=(0,))
+        )
 
     def _make_train_scan(self, k: int) -> Callable:
         """k fused optimizer steps per call: batches stacked on a leading
@@ -260,7 +277,7 @@ class Trainer:
             state, ms = jax.lax.scan(body, state, batches)
             return state, jax.tree_util.tree_map(jnp.mean, ms)
 
-        return jax.jit(scan_fn, donate_argnums=(0,))
+        return self._with_ambient_mesh(jax.jit(scan_fn, donate_argnums=(0,)))
 
     def _make_eval_step(self) -> Callable:
         model, task = self.model, self.task
@@ -285,7 +302,7 @@ class Trainer:
             correct, total = losses.accuracy(logits, labels, mask)
             return (totals[0] + loss_sum, totals[1] + correct, totals[2] + total)
 
-        return jax.jit(eval_step, donate_argnums=(2,))
+        return self._with_ambient_mesh(jax.jit(eval_step, donate_argnums=(2,)))
 
     # ------------------------------------------------------------------
     # loops
