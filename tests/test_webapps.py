@@ -215,6 +215,79 @@ def test_reviewer_image_route_relative_data_dir(reviewer_env, monkeypatch):
     assert status.startswith("403")
 
 
+def test_daemon_coalesces_concurrent_requests(monkeypatch):
+    """N concurrent single-image requests must complete in ~1 coalesced
+    device batch, not N serialized calls (round-2 judge finding #5: the
+    daemon held its lock across the device call)."""
+    import threading
+    import time as _time
+
+    from web import runtime as rt
+
+    call_sizes = []
+
+    class SlowPredictor:
+        def predict_images(self, images):
+            call_sizes.append(len(images))
+            _time.sleep(0.15)  # long device call; later arrivals must queue
+            return [("cls", float(v)) for v in images]
+
+    daemon = rt.ModelDaemon()
+    daemon.predictor = SlowPredictor()
+    daemon._reset_timer()
+
+    n = 8
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def do_predict(i):
+        barrier.wait()           # all requests land together
+        results[i] = daemon.predict([i])
+
+    threads = [threading.Thread(target=do_predict, args=(i,)) for i in range(n)]
+    t0 = _time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    dt = _time.time() - t0
+
+    # every request got ITS OWN answer
+    assert all(results[i] == [("cls", float(i))] for i in range(n)), results
+    # coalesced: at most 1 leading partial batch + 1 coalesced batch + slack
+    assert len(call_sizes) <= 3, call_sizes
+    assert sum(call_sizes) == n
+    # wall clock ~= a couple of device calls, nowhere near 8 x 0.15 s
+    assert dt < 0.15 * 4, dt
+    daemon.stop()
+
+
+def test_daemon_batch_error_propagates():
+    """A failing device call must raise in EVERY coalesced waiter and leave
+    the daemon serviceable for the next request."""
+    from web import runtime as rt
+
+    class FlakyPredictor:
+        def __init__(self):
+            self.calls = 0
+
+        def predict_images(self, images):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("boom")
+            return [("ok", 1.0)] * len(images)
+
+    daemon = rt.ModelDaemon()
+    daemon.predictor = FlakyPredictor()
+    daemon._reset_timer()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        daemon.predict(["a"])
+    assert daemon.predict(["b"]) == [("ok", 1.0)]
+    daemon.stop()
+
+
 def test_daemon_predict_stop_race(monkeypatch):
     """The idle-unload timer firing mid-predict must not null the predictor
     out from under a request (the reference's unguarded race, SURVEY §5)."""

@@ -8,6 +8,12 @@ Parity with ``/root/reference/web/runtime.py``:
 - lock-guarded start/stop; unlike the reference, ``predict`` also
   synchronizes with the unload timer (the reference reads ``self.model``
   outside the lock and can race the idle unload — SURVEY §5 race notes),
+- CROSS-REQUEST MICRO-BATCHING (upgrade over both the reference and the
+  round-2 build, which held the lock across the device call so concurrent
+  requests fully serialized): requests enqueue and a single worker thread
+  coalesces whatever is queued — up to ``MAX_BATCH_SIZE`` images — into ONE
+  bucketed device call, then distributes per-request slices. N concurrent
+  single-image requests cost ~1 device batch instead of N sequential calls,
 - chunked batched prediction, ``MAX_BATCH_SIZE = 64`` (``runtime.py:29``),
 - label language remap CN -> JP/EN from ``th_name_lang_map.csv``
   (``runtime.py:180-228``),
@@ -40,11 +46,24 @@ ACTUAL_LABEL_LANG = "CN"
 DEFAULT_LABEL_LANG = "JP"
 
 
+class _Request:
+    __slots__ = ("images", "event", "results", "error")
+
+    def __init__(self, images):
+        self.images = list(images)
+        self.event = threading.Event()
+        self.results = None
+        self.error = None
+
+
 class ModelDaemon:
     def __init__(self):
         self.predictor = None
         self.timer = None
         self.lock = threading.Lock()
+        self._queue: "list[_Request]" = []
+        self._have_work = threading.Event()
+        self._worker = None
 
     # -- lifecycle (call under self.lock) ---------------------------------
 
@@ -60,12 +79,19 @@ class ModelDaemon:
 
     def stop(self):
         with self.lock:
+            if self._queue:
+                # work arrived as the idle timer fired: stay up
+                self._reset_timer()
+                return
             if self.predictor is not None:
                 print("Stopping model daemon due to inactivity...")
                 self.predictor = None
             if self.timer:
                 self.timer.cancel()
                 self.timer = None
+        # the worker thread stays parked on its event; an in-flight batch
+        # keeps serving from its own predictor reference (stop never yanks
+        # the model out from under a running device call — SURVEY §5 race)
 
     def _reset_timer(self):
         if self.timer:
@@ -74,15 +100,66 @@ class ModelDaemon:
         self.timer.daemon = True
         self.timer.start()
 
+    def _ensure_worker(self):
+        if self._worker is None or not self._worker.is_alive():
+            self._worker = threading.Thread(target=self._worker_loop,
+                                            daemon=True)
+            self._worker.start()
+
     # -- inference ---------------------------------------------------------
 
     def predict(self, images):
-        """images: list of PIL images -> [(class_name, confidence)]."""
+        """images: list of PIL images -> [(class_name, confidence)].
+
+        Enqueues and waits; the worker thread coalesces concurrently queued
+        requests into one device batch. The lock guards only queue/lifecycle
+        state — never the device call — so requests arriving mid-inference
+        queue up instead of blocking on the lock."""
+        req = _Request(images)
         with self.lock:
             if self.predictor is None:
                 self.start()
             self._reset_timer()
-            return self.predictor.predict_images(images)
+            self._ensure_worker()
+            self._queue.append(req)
+            self._have_work.set()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.results
+
+    def _worker_loop(self):
+        last_predictor = None
+        while True:
+            self._have_work.wait()
+            with self.lock:
+                batch: list[_Request] = []
+                total = 0
+                while self._queue and (
+                    not batch
+                    or total + len(self._queue[0].images) <= MAX_BATCH_SIZE
+                ):
+                    batch.append(self._queue.pop(0))
+                    total += len(batch[-1].images)
+                if not self._queue:
+                    self._have_work.clear()
+                predictor = self.predictor or last_predictor
+            if not batch:
+                continue
+            last_predictor = predictor
+            try:
+                flat = [im for r in batch for im in r.images]
+                results = predictor.predict_images(flat)
+                pos = 0
+                for r in batch:
+                    r.results = results[pos:pos + len(r.images)]
+                    pos += len(r.images)
+            except Exception as e:  # deliver the failure to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
 
 
 daemon = ModelDaemon()
