@@ -31,6 +31,20 @@ def test_fast_global_norm_propagates_nan():
     assert not np.isfinite(float(fast_global_norm(tree)))
 
 
+def test_fast_global_norm_impls_agree():
+    """'concat' and 'leafsum' are interchangeable numerics (A/B'd for speed
+    in tools/bench_guard.py); 'off' is the measurement floor (always 0)."""
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "b": [jnp.ones((4,), jnp.bfloat16), jnp.full((2, 2), -2.0)]}
+    np.testing.assert_allclose(
+        float(fast_global_norm(tree, impl="concat")),
+        float(fast_global_norm(tree, impl="leafsum")), rtol=1e-6,
+    )
+    assert float(fast_global_norm(tree, impl="off")) == 0.0
+    bad = {"a": jnp.ones((3,)), "b": jnp.array([jnp.inf])}
+    assert not np.isfinite(float(fast_global_norm(bad, impl="leafsum")))
+
+
 def _make_trainer(tmp_path, nan_guard=True):
     cfg = TrainConfig(
         train_id="nan_run", model_type="vit-base", global_batch_size=8,

@@ -70,19 +70,43 @@ def build_optimizer(
     return tx
 
 
-def fast_global_norm(tree) -> "optax._src.base.chex.Array":
-    """Global L2 norm in ONE fused pass: flatten + concat + single reduce.
+def fast_global_norm(tree, impl: str | None = None) -> "optax._src.base.chex.Array":
+    """Global L2 norm of a gradient tree. Non-finite values propagate, so
+    ``isfinite(fast_global_norm(g))`` doubles as the NaN/Inf gradient check
+    (the trainer's fused guard).
 
-    ``optax.global_norm`` emits a reduction per leaf (~300 tiny kernels for
-    ViT-L, profiled at 52 ms/step); concatenating first costs one large copy
-    but collapses the reductions into one. Non-finite values propagate, so
-    ``isfinite(fast_global_norm(g))`` doubles as the NaN/Inf gradient check.
+    Two real implementations, selectable for A/B via ``impl`` or the
+    ``TIC_GRAD_NORM_IMPL`` env var (read at trace time):
+
+    - ``'leafsum'`` (default): per-leaf ``sum(x*x)`` then a scalar add
+      chain. Reads each gradient exactly once; the ~300 small reductions
+      overlap with neighboring DMA. Step-level A/B on the ViT-L train step
+      (tools/bench_guard.py, v5e, b192): 335.8 img/s.
+    - ``'concat'``: flatten + concat + one big reduce. One fused reduction,
+      but the concat materializes a second ~1.2 GB copy of ViT-L's f32
+      grads (3x the minimal traffic): 332.3 img/s. (Round-1 per-op traces
+      that picked concat were misled by unoverlapped small-reduce times;
+      the step-level A/B reverses the call.)
+    - ``'off'``: returns 0.0 — measurement floor only (340.9 img/s); the
+      trainer's guard degrades to ``isfinite(loss)`` and the grad_norm
+      metric reads 0. Not shippable: loses the grad-finiteness check.
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    leaves = [jnp.ravel(x) for x in jax.tree_util.tree_leaves(tree)]
-    if not leaves:
+    impl = impl or os.environ.get("TIC_GRAD_NORM_IMPL", "leafsum")
+    leaves = jax.tree_util.tree_leaves(tree)
+    if impl == "off" or not leaves:
         return jnp.zeros(())
-    flat = jnp.concatenate(leaves) if len(leaves) > 1 else leaves[0]
-    return jnp.sqrt(jnp.sum(jnp.square(flat)))
+    if impl == "concat":
+        flat = (jnp.concatenate([jnp.ravel(x) for x in leaves])
+                if len(leaves) > 1 else jnp.ravel(leaves[0]))
+        return jnp.sqrt(jnp.sum(jnp.square(flat)))
+    if impl != "leafsum":
+        raise ValueError(f"Unknown grad-norm impl: {impl}")
+    total = jnp.zeros((), jnp.float32)
+    for x in leaves:
+        total = total + jnp.sum(jnp.square(x.astype(jnp.float32)))
+    return jnp.sqrt(total)
