@@ -43,6 +43,147 @@ print(f"multihost ok {pid}", flush=True)
 """
 
 
+_CHILD_PIPELINE = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from touhouimageclassification_tpu.parallel.dist import initialize_distributed
+
+pid, port, root, data = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+assert initialize_distributed(f"localhost:{port}", 2, pid)
+assert jax.process_count() == 2
+
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from touhouimageclassification_tpu.data.folder import scan_image_folder
+from touhouimageclassification_tpu.data.loader import (
+    HostImageLoader, device_put_iterator)
+from touhouimageclassification_tpu.parallel.mesh import data_sharding, put_global
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+sh = data_sharding(mesh)
+
+# replicated leaf: every process holds the full value, global == local shape
+rep = put_global(np.arange(6.0).reshape(2, 3), NamedSharding(mesh, P()))
+assert rep.shape == (2, 3)
+assert float(jax.jit(jnp.sum)(rep)) == 15.0
+
+index = scan_image_folder(data)
+kw = dict(batch_size=4, canvas=(16, 16), shuffle=True, seed=7, drop_last=True)
+ref = HostImageLoader(index, process_shard=(0, 1), **kw)   # global view
+loader = HostImageLoader(index, **kw)                      # auto -> (pid, 2)
+assert loader._pid == pid and loader._pcount == 2
+assert loader._local_batch == 2
+
+stats = jax.jit(
+    lambda b: (jnp.sum(b["label"]), jnp.sum(b["image"].astype(jnp.float32))),
+    out_shardings=NamedSharding(mesh, P()),
+)
+got = []
+for batch in device_put_iterator(iter(loader), sh):
+    assert batch["image"].shape == (4, 16, 16, 3), batch["image"].shape
+    ls, isum = stats(batch)
+    got.append((int(ls), float(isum)))
+want = [(int(b["label"].sum()), float(b["image"].astype(np.float32).sum()))
+        for b in ref]
+assert len(got) == len(want) > 1
+assert got == want, (got[:2], want[:2])
+print(f"pipeline ok {pid}", flush=True)
+"""
+
+
+_CHILD_FIT = r"""
+import dataclasses, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from touhouimageclassification_tpu.parallel.dist import initialize_distributed
+
+pid, port, root, data, work, mode = (int(sys.argv[1]), sys.argv[2],
+                                     sys.argv[3], sys.argv[4], sys.argv[5],
+                                     sys.argv[6])
+assert initialize_distributed(f"localhost:{port}", 2, pid)
+
+import numpy as np
+from touhouimageclassification_tpu.config import (
+    AugmentConfig, CheckpointConfig, MixConfig, OptimizerConfig, TrainConfig,
+    ViTConfig)
+from touhouimageclassification_tpu.data.folder import (
+    scan_image_folder, random_split)
+from touhouimageclassification_tpu.data.loader import HostImageLoader
+from touhouimageclassification_tpu.models import ViT
+from touhouimageclassification_tpu.train.trainer import Trainer
+
+cfg = TrainConfig(
+    train_id="mh_run", model_type="vit-base", global_batch_size=8,
+    max_epochs=2, seed=0,
+    optimizer=OptimizerConfig(name="adamw", learning_rate=3e-3,
+                              weight_decay=0.0),
+    augment=AugmentConfig(enable_augmentation=False),
+    mix=MixConfig(enable_mixup=False),
+    checkpoint=CheckpointConfig(directory=os.path.join(work, "ckpt"),
+                                monitor="val_acc", async_save=False),
+    log_dir=os.path.join(work, "log"),
+    early_stop_patience=0,
+)
+tiny = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                 num_heads=2, mlp_dim=64, num_classes=3)
+index = scan_image_folder(data)
+tr, va = random_split(len(index), 0.75, seed=0)
+train = HostImageLoader(index, tr, batch_size=8, canvas=(32, 32),
+                        shuffle=True, seed=0, drop_last=True)
+val = HostImageLoader(index, va, batch_size=8, canvas=(32, 32),
+                      drop_last=False)
+assert train._pcount == 2 and train._local_batch == 4
+
+if mode == "fit":
+    trainer = Trainer(cfg, model=ViT(tiny))
+    history = trainer.fit(train, val, resume=False)
+    assert len(history) == 2, history
+    assert all(np.isfinite(r["train_loss"]) for r in history)
+    # multi-process resume: Orbax restores sharded jax.Arrays cooperatively
+    trainer2 = Trainer(dataclasses.replace(cfg, max_epochs=3),
+                       model=ViT(tiny))
+    h2 = trainer2.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h2] == [3], h2
+    print(f"fit ok {pid} loss={history[-1]['train_loss']:.6f} "
+          f"val={history[-1]['val_acc']:.4f}", flush=True)
+else:  # mode == "preempt": SIGTERM lands ONLY on process 1
+    import signal
+
+    class KillDuring:
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if pid == 1 and not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    assert train.steps_per_epoch() >= 4, train.steps_per_epoch()
+    trainer = Trainer(cfg, model=ViT(tiny))
+    h1 = trainer.fit(KillDuring(train, 3), val, resume=False)
+    assert h1 == [], h1  # BOTH processes stopped before the epoch completed
+    from touhouimageclassification_tpu.train.checkpoint import (
+        CheckpointManager)
+    mgr = CheckpointManager(cfg.checkpoint, cfg.train_id)
+    assert mgr.latest_epoch() == 1, mgr.latest_epoch()  # partial epoch saved
+    mgr.close()
+    trainer2 = Trainer(cfg, model=ViT(tiny))
+    h2 = trainer2.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h2] == [2], h2
+    print(f"preempt ok {pid}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -74,3 +215,94 @@ def test_two_process_initialize_and_reduce():
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {pid} failed:\n{out}\n{err}"
         assert f"multihost ok {pid}" in out
+
+
+def test_two_process_sharded_input_pipeline(tmp_path):
+    """Each host decodes only its half of every global batch; ``put_global``
+    assembles the process-spanning array, and the device-side contents of
+    every step equal the single-process loader's batches exactly."""
+    from fixtures import make_image_folder
+
+    data = make_image_folder(str(tmp_path / "data"), num_classes=3,
+                             per_class=7, size=16)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_PIPELINE, str(pid), str(port),
+             _ROOT, data],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("pipeline children timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {pid} failed:\n{out}\n{err}"
+        assert f"pipeline ok {pid}" in out
+
+
+def _run_fit_children(tmp_path, mode, timeout=420):
+    from fixtures import make_image_folder
+
+    data = make_image_folder(str(tmp_path / "data"), num_classes=3,
+                             per_class=15, size=32)
+    work = str(tmp_path / "work")
+    os.makedirs(work, exist_ok=True)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_FIT, str(pid), str(port), _ROOT,
+             data, work, mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"{mode} children timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {pid} failed:\n{out}\n{err}"
+        assert f"{mode} ok {pid}" in out
+    return outs, work
+
+
+def test_two_process_trainer_fit_and_resume(tmp_path):
+    """Full Trainer.fit across two real processes: process-sharded input,
+    SPMD step over a process-spanning mesh, cooperative Orbax save/restore
+    (each process writes only its addressable shards), single-writer
+    metrics. The replicated loss must be bit-identical on both hosts."""
+    import json
+    import re
+
+    outs, work = _run_fit_children(tmp_path, "fit")
+    losses = {re.search(r"loss=(\S+)", out).group(1) for _, out, _ in outs}
+    assert len(losses) == 1, f"hosts disagree on the replicated loss: {losses}"
+    # exactly one process wrote metrics.jsonl: 2 epochs + 1 resumed epoch
+    with open(os.path.join(work, "log", "mh_run", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert [r["epoch"] for r in records] == [1, 2, 3]
+
+
+def test_two_process_preemption_agreement(tmp_path):
+    """SIGTERM lands on ONE host only; the per-step agreement collective
+    makes BOTH processes break at the same step (a lone leaver would
+    deadlock the survivor's next all-reduce), save one cooperative partial
+    checkpoint, and both resume past it."""
+    _run_fit_children(tmp_path, "preempt")

@@ -1,0 +1,94 @@
+"""Multi-host input sharding: process-sharded loading + global assembly.
+
+SURVEY §5 scaling obligation (the scaling-book input-pipeline recipe): under
+multi-process JAX every host decodes only the rows its devices own, and
+``put_global`` assembles the global batch. These tests pin the host-side
+arithmetic single-process by forcing explicit ``(pid, count)`` views; the
+real two-process path is exercised in ``test_multihost.py``.
+"""
+import numpy as np
+import pytest
+
+from touhouimageclassification_tpu.data.folder import scan_image_folder
+from touhouimageclassification_tpu.data.loader import HostImageLoader
+
+from fixtures import make_image_folder
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp_data")
+    return make_image_folder(str(root), num_classes=3, per_class=7, size=16)
+
+
+def _rows(batch):
+    """(label, pixels) keys of the VALID rows of a batch."""
+    return [
+        (int(batch["label"][j]), batch["image"][j].tobytes())
+        for j in range(len(batch["mask"]))
+        if batch["mask"][j]
+    ]
+
+
+def test_process_shards_partition_each_global_batch(dataset):
+    """Per step, the union of the P per-process local batches must be exactly
+    the single-process global batch (strided slices of one shared epoch
+    permutation — the DistributedSampler contract)."""
+    index = scan_image_folder(dataset)
+    kw = dict(batch_size=4, canvas=(16, 16), shuffle=True, seed=3,
+              drop_last=False)
+    ref = list(HostImageLoader(index, process_shard=(0, 1), **kw))
+    parts = [list(HostImageLoader(index, process_shard=(p, 2), **kw))
+             for p in range(2)]
+    assert len(parts[0]) == len(parts[1]) == len(ref) > 1
+    for i, rb in enumerate(ref):
+        got = sorted(r for p in parts for r in _rows(p[i]))
+        assert got == sorted(_rows(rb)), f"batch {i} shards != global batch"
+        for p in parts:
+            assert p[i]["image"].shape == (2, 16, 16, 3)
+
+
+def test_ragged_tail_stays_lockstep(dataset):
+    """A process whose share of the global tail is empty still yields an
+    all-masked batch, so step counts (and collectives) match everywhere."""
+    index = scan_image_folder(dataset)
+    kw = dict(subset=np.arange(9), batch_size=8, canvas=(16, 16),
+              shuffle=False)
+    parts = [list(HostImageLoader(index, process_shard=(p, 4),
+                                  drop_last=False, **kw))
+             for p in range(4)]
+    assert [len(p) for p in parts] == [2, 2, 2, 2]
+    tails = [p[1] for p in parts]
+    assert sum(int(t["mask"].sum()) for t in tails) == 1  # global tail = 1 img
+    assert all(t["image"].shape == (2, 16, 16, 3) for t in tails)
+    # drop_last drops the global tail on every process alike
+    parts = [list(HostImageLoader(index, process_shard=(p, 4),
+                                  drop_last=True, **kw))
+             for p in range(4)]
+    assert [len(p) for p in parts] == [1, 1, 1, 1]
+
+
+def test_indivisible_global_batch_raises(dataset):
+    index = scan_image_folder(dataset)
+    with pytest.raises(ValueError, match="not divisible"):
+        HostImageLoader(index, batch_size=7, process_shard=(0, 2))
+
+
+def test_put_global_single_process_matches_device_put(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from touhouimageclassification_tpu.parallel.mesh import (
+        _global_shape, data_sharding, put_global,
+    )
+
+    tree = {"a": np.arange(32.0).reshape(16, 2),
+            "b": np.ones((16,), np.int32)}
+    sh = data_sharding(mesh8)
+    out = put_global(tree, sh)
+    assert out["a"].shape == (16, 2)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(out["b"]), tree["b"])
+    # single process covers every 'data' coordinate -> local shape IS global
+    assert _global_shape((16, 2), sh) == (16, 2)
+    assert _global_shape((4, 16), NamedSharding(mesh8, P(None, "data"))) == (4, 16)
+    assert _global_shape((16,), NamedSharding(mesh8, P())) == (16,)

@@ -179,6 +179,56 @@ def test_checkpoint_retention_caps_every_n(tmp_path):
     mgr.close()
 
 
+def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
+    """TPU-VM preemption story: SIGTERM mid-epoch -> finish the in-flight
+    step, save a partial-epoch checkpoint, stop cleanly; a later fit()
+    auto-resumes after the partial epoch (maintenance-event / spot-reclaim
+    semantics; the reference has no analogue — Lightning just dies)."""
+    import json
+    import signal
+
+    cfg = _cfg(tmp_path, max_epochs=3)
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+
+    class KillDuring:
+        """Deliver SIGTERM to our own process after `n` batches."""
+
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    t1 = Trainer(cfg, model=model)
+    h1 = t1.fit(KillDuring(train, 2), val, resume=False)
+    assert h1 == []  # no epoch completed
+    assert signal.getsignal(signal.SIGTERM) is prev_handler  # restored
+
+    from touhouimageclassification_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(cfg.checkpoint, cfg.train_id)
+    assert mgr.latest_epoch() == 1  # the partial epoch was checkpointed
+    mgr.close()
+    with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["preempted"] is True
+    assert 1 <= last["steps"] < train.steps_per_epoch()
+
+    # resume continues AFTER the partial epoch: epochs 2 and 3 run
+    t2 = Trainer(cfg, model=model)
+    h2 = t2.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h2] == [2, 3]
+
+
 def test_loader_early_break_releases_producer(dataset):
     """Breaking out of a loader mid-epoch must not wedge the producer thread
     (review finding: q.put blocked forever on a full queue)."""

@@ -63,6 +63,7 @@ class HostImageLoader:
         loop: bool = False,
         decode_backend: str = "auto",
         canvas_cache: bool | str = False,
+        process_shard: bool | str | tuple[int, int] = "auto",
     ):
         self.index = index
         self.subset = subset if subset is not None else np.arange(len(index))
@@ -71,6 +72,28 @@ class HostImageLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # Multi-host input sharding: ``batch_size`` is GLOBAL; under N
+        # processes each one decodes only batch_size/N images per step
+        # (disjoint strided slices of the shared epoch permutation — the
+        # DistributedSampler contract) and the global batch is assembled
+        # device-side by ``device_put_iterator``. Every process yields the
+        # same number of batches per epoch so collectives stay in lockstep.
+        # An explicit ``(pid, count)`` tuple overrides JAX's process view.
+        self._pid, self._pcount = 0, 1
+        if isinstance(process_shard, tuple):
+            self._pid, self._pcount = process_shard
+        elif process_shard == "auto" or process_shard is True:
+            import jax
+
+            if jax.process_count() > 1:
+                self._pid = jax.process_index()
+                self._pcount = jax.process_count()
+        if batch_size % self._pcount:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self._pcount} processes"
+            )
+        self._local_batch = batch_size // self._pcount
         self.num_threads = num_threads or min(16, (os.cpu_count() or 8))
         self.prefetch_batches = prefetch_batches
         self.loop = loop
@@ -128,11 +151,15 @@ class HostImageLoader:
 
     def _make_batch(self, ids: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         n = len(ids)
-        b = self.batch_size
+        b = self._local_batch
         image = np.zeros((b, *self.canvas, 3), np.uint8)
         label = np.zeros((b,), np.int32)
         mask = np.zeros((b,), bool)
         ids = np.asarray(ids)
+        if n == 0:
+            # a process's share of a ragged global tail can be empty; emit
+            # the all-masked batch so step counts match across processes
+            return {"image": image, "label": label, "mask": mask}
         if self._cache is not None:
             hit = self._cache.fetch(ids, image[:n])
             miss = np.nonzero(~hit)[0]
@@ -152,12 +179,16 @@ class HostImageLoader:
     def _iter_epoch(self, pool: ThreadPoolExecutor) -> Iterator[dict]:
         order = self._epoch_order()
         self._epoch += 1
+        # this process's strided slice of the (seed-shared) global order;
+        # batch counts below use GLOBAL arithmetic so every process yields
+        # the same number of batches regardless of its slice length
+        local = order[self._pid::self._pcount] if self._pcount > 1 else order
+        b = self._local_batch
         n_full = len(order) // self.batch_size
         for i in range(n_full):
-            yield self._make_batch(order[i * self.batch_size:(i + 1) * self.batch_size], pool)
-        tail = order[n_full * self.batch_size:]
-        if len(tail) and not self.drop_last:
-            yield self._make_batch(tail, pool)
+            yield self._make_batch(local[i * b:(i + 1) * b], pool)
+        if not self.drop_last and len(order) > n_full * self.batch_size:
+            yield self._make_batch(local[n_full * b:], pool)
 
     def __iter__(self) -> Iterator[dict]:
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
@@ -208,14 +239,19 @@ def device_put_iterator(batches: Iterator[dict], sharding=None) -> Iterator[dict
     """Move host batches onto device(s) one step ahead (double buffering).
 
     ``sharding`` is a ``jax.sharding.Sharding`` (e.g. batch sharded over the
-    'data' mesh axis); None puts on the default device.
+    'data' mesh axis); None puts on the default device. Under multi-process
+    JAX the per-process local batches are assembled into one global array
+    (each host feeds only the shard its devices own — see
+    ``parallel.mesh.put_global``).
     """
     import jax
+
+    from ..parallel.mesh import put_global
 
     def put(b):
         if sharding is None:
             return jax.device_put(b)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), b)
+        return put_global(b, sharding)
 
     prev = None
     for batch in batches:

@@ -46,4 +46,21 @@ def state_shardings(state, mesh: Mesh, expert_axis: str = "expert"):
 
 
 def shard_state(state, mesh: Mesh, expert_axis: str = "expert"):
-    return jax.device_put(state, state_shardings(state, mesh, expert_axis))
+    shardings = state_shardings(state, mesh, expert_axis)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+    # Multi-process: device_put cannot target non-addressable devices. A
+    # host-local leaf (init runs replicated, so every process holds the FULL
+    # value) has global_shape == local shape and JAX slices out each
+    # process's addressable shard. A leaf that is ALREADY a process-spanning
+    # global array (an Orbax multi-process restore) passes through as-is.
+    import numpy as np
+
+    def to_global(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return jax.make_array_from_process_local_data(
+            s, np.asarray(x), np.shape(x)
+        )
+
+    return jax.tree_util.tree_map(to_global, state, shardings)

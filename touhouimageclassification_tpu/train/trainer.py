@@ -128,6 +128,10 @@ class Trainer:
         self.tx: optax.GradientTransformation | None = None
         self.state: TrainState | None = None
         self._metrics_path = os.path.join(cfg.log_dir, cfg.train_id, "metrics.jsonl")
+        # multi-host: exactly one process writes checkpoints/metrics (the
+        # checkpoint dir is shared storage on a pod); all state is replicated
+        # or re-shardable so any process could, but they must not collide
+        self._is_main = jax.process_index() == 0
 
     # ------------------------------------------------------------------
     # state
@@ -309,15 +313,65 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _log_metrics(self, record: dict) -> None:
+        if not self._is_main:
+            return
         os.makedirs(os.path.dirname(self._metrics_path), exist_ok=True)
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def _saveable_state(self) -> Any:
+        """What to hand the checkpoint manager.
+
+        Multi-process: the live sharded ``jax.Array`` state — Orbax
+        coordinates the save (EVERY process must call ``save``; each writes
+        only its addressable shards, so EP-sharded expert stacks land on
+        disk without ever being gathered). Single-process: fetch to host
+        numpy (detaches the tunneled-TPU buffers immediately)."""
+        if jax.process_count() > 1:
+            return self.state
+        return jax.device_get(self.state)
+
+    def _agree_preempted(self) -> bool:
+        """Cluster-wide preemption agreement.
+
+        A SIGTERM lands on ONE host; if that process alone broke out of the
+        epoch the survivors would deadlock in their next collective. Every
+        step each process contributes its local flag to a tiny
+        device-sharded vector and the jitted ``any`` reduction replicates
+        the verdict — all processes break together at the same step, or
+        none do. Single-process: just the local flag (no collective, no
+        per-step host fetch on the tunneled chip)."""
+        if jax.process_count() == 1:
+            return self._preempted
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_global_array
+
+        agree = getattr(self, "_agree_fn", None)
+        if agree is None:
+            sharded = NamedSharding(self.mesh, P(self.mesh.axis_names))
+            rep = NamedSharding(self.mesh, P())
+            fn = jax.jit(jnp.any, out_shardings=rep)
+            n_local = sum(
+                1 for d in self.mesh.devices.flat
+                if d.process_index == jax.process_index()
+            )
+            import numpy as np
+
+            def agree(flag: bool) -> bool:
+                local = np.full((n_local,), flag)
+                return bool(fn(make_global_array(local, sharded)))
+
+            self._agree_fn = agree
+        return agree(self._preempted)
 
     def _stacked_iterator(self, loader, k: int):
         """Group k host batches, stack on a new leading axis, and place them
         with the per-step batch dim sharded over 'data'."""
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import put_global
 
         sharding = NamedSharding(self.mesh, P(None, self.cfg.mesh.data_axis))
         group: list[dict] = []
@@ -327,7 +381,7 @@ class Trainer:
                 stacked = {
                     key: np.stack([g[key] for g in group]) for key in group[0]
                 }
-                yield jax.device_put(stacked, sharding)
+                yield put_global(stacked, sharding)
                 group = []
         # drop the ragged tail (train loaders already drop_last per epoch)
 
@@ -386,87 +440,135 @@ class Trainer:
         sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
         timeline: list[float] = []
 
-        profiled = False
-        for epoch in range(start_epoch, cfg.max_epochs):
-            t0 = time.time()
-            running, nsteps = 0.0, 0
-            if k > 1:
-                it = self._stacked_iterator(train_loader, k)
-            else:
-                it = device_put_iterator(iter(train_loader), self._batch_sharding)
-            for i, batch in enumerate(it):
-                if cfg.limit_train_batches and i * k >= cfg.limit_train_batches:
-                    break
-                if cfg.profile_dir and not profiled and i == 1:
-                    # trace a few steady-state steps once per run
-                    from ..utils.profiling import trace
+        # Preemption safety: TPU VMs receive SIGTERM on maintenance events /
+        # spot reclaim. Checkpoint at the next step boundary and stop
+        # cleanly; the filesystem auto-resume above picks the run back up.
+        import signal
+        import threading
 
-                    with trace(cfg.profile_dir):
-                        for _ in range(cfg.profile_steps):
-                            self.state, metrics = train_step(self.state, batch)
-                            jax.block_until_ready(metrics["loss"])
-                            running += float(metrics["loss"]) * k
-                            nsteps += k
-                    profiled = True
-                    continue
-                self.state, metrics = train_step(self.state, batch)
-                running += float(metrics["loss"]) * k
-                nsteps += k
-            dt = time.time() - t0
-            train_loss = running / max(nsteps, 1)
-            record = {
-                "epoch": epoch + 1,
-                "train_loss": train_loss,
-                "epoch_seconds": dt,
-                "images_per_second": nsteps * cfg.global_batch_size / dt if dt else 0.0,
-            }
-            if val_loader is not None:
-                record.update(
-                    self.evaluate(val_loader, self.state, cfg.limit_val_batches)
-                )
-            self.logger.info(
-                "epoch %d: %s", epoch + 1,
-                " ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "epoch"),
+        self._preempted = False
+        prev_sigterm = None
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+            self.logger.warning(
+                "SIGTERM received: checkpointing at the next step boundary "
+                "and stopping."
             )
-            self._log_metrics(record)
-            history.append(record)
 
-            metric_key = cfg.early_stop_monitor
-            metrics_for_ckpt = {
-                k: v for k, v in record.items() if isinstance(v, (int, float))
-            }
-            if cfg.checkpoint.monitor not in metrics_for_ckpt:
-                # no val loader: substitute train loss, sign-adjusted so the
-                # manager's best-mode ordering still prefers lower loss
-                fallback = -train_loss if cfg.checkpoint.mode == "max" else train_loss
-                metrics_for_ckpt[cfg.checkpoint.monitor] = fallback
-            ckpt.save(epoch + 1, jax.device_get(self.state), metrics_for_ckpt)
+        if threading.current_thread() is threading.main_thread():
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
 
-            if metric_key in record:
-                cur = record[metric_key]
-                if cfg.early_stop_window:
-                    timeline.append(cur)
-                    if window_early_exit(timeline, cfg.early_stop_patience,
-                                         cfg.early_stop_mode):
-                        self.logger.info(
-                            "%s has not improved for %d epochs. "
-                            "Stopping training.", metric_key,
-                            cfg.early_stop_patience,
-                        )
-                        break
-                elif sign * cur > sign * best:
-                    best = cur
-                    since_best = 0
+        profiled = False
+        try:
+            for epoch in range(start_epoch, cfg.max_epochs):
+                t0 = time.time()
+                running, nsteps = 0.0, 0
+                if k > 1:
+                    it = self._stacked_iterator(train_loader, k)
                 else:
-                    since_best += 1
-                    if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
-                        self.logger.info(
-                            "%s has not improved for %d epochs. Stopping training.",
-                            metric_key, cfg.early_stop_patience,
-                        )
+                    it = device_put_iterator(iter(train_loader), self._batch_sharding)
+                for i, batch in enumerate(it):
+                    if self._agree_preempted():
+                        # cluster-wide agreement: every process breaks at the
+                        # SAME step or none does (a lone leaver would deadlock
+                        # the others' next collective)
+                        self._preempted = True
                         break
-        ckpt.wait()
-        ckpt.close()
+                    if cfg.limit_train_batches and i * k >= cfg.limit_train_batches:
+                        break
+                    if cfg.profile_dir and not profiled and i == 1:
+                        # trace a few steady-state steps once per run
+                        from ..utils.profiling import trace
+
+                        with trace(cfg.profile_dir):
+                            for _ in range(cfg.profile_steps):
+                                self.state, metrics = train_step(self.state, batch)
+                                jax.block_until_ready(metrics["loss"])
+                                running += float(metrics["loss"]) * k
+                                nsteps += k
+                        profiled = True
+                        continue
+                    self.state, metrics = train_step(self.state, batch)
+                    running += float(metrics["loss"]) * k
+                    nsteps += k
+                dt = time.time() - t0
+                train_loss = running / max(nsteps, 1)
+                if self._preempted:
+                    if nsteps:
+                        # at-least-once epoch semantics: the partial epoch is
+                        # saved under epoch+1 so resume continues after it (the
+                        # unseen tail of this epoch is the accepted loss)
+                        fallback = (-train_loss if cfg.checkpoint.mode == "max"
+                                    else train_loss)
+                        ckpt.save(
+                            epoch + 1, self._saveable_state(),
+                            {cfg.checkpoint.monitor: fallback,
+                             "preempted_partial_epoch": 1.0},
+                        )
+                        self.logger.info(
+                            "Preemption checkpoint saved at epoch %d "
+                            "(partial, %d steps).", epoch + 1, nsteps,
+                        )
+                    self._log_metrics({"epoch": epoch + 1, "preempted": True,
+                                       "steps": nsteps})
+                    break
+                record = {
+                    "epoch": epoch + 1,
+                    "train_loss": train_loss,
+                    "epoch_seconds": dt,
+                    "images_per_second": nsteps * cfg.global_batch_size / dt if dt else 0.0,
+                }
+                if val_loader is not None:
+                    record.update(
+                        self.evaluate(val_loader, self.state, cfg.limit_val_batches)
+                    )
+                self.logger.info(
+                    "epoch %d: %s", epoch + 1,
+                    " ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "epoch"),
+                )
+                self._log_metrics(record)
+                history.append(record)
+
+                metric_key = cfg.early_stop_monitor
+                metrics_for_ckpt = {
+                    k: v for k, v in record.items() if isinstance(v, (int, float))
+                }
+                if cfg.checkpoint.monitor not in metrics_for_ckpt:
+                    # no val loader: substitute train loss, sign-adjusted so the
+                    # manager's best-mode ordering still prefers lower loss
+                    fallback = -train_loss if cfg.checkpoint.mode == "max" else train_loss
+                    metrics_for_ckpt[cfg.checkpoint.monitor] = fallback
+                ckpt.save(epoch + 1, self._saveable_state(), metrics_for_ckpt)
+
+                if metric_key in record:
+                    cur = record[metric_key]
+                    if cfg.early_stop_window:
+                        timeline.append(cur)
+                        if window_early_exit(timeline, cfg.early_stop_patience,
+                                             cfg.early_stop_mode):
+                            self.logger.info(
+                                "%s has not improved for %d epochs. "
+                                "Stopping training.", metric_key,
+                                cfg.early_stop_patience,
+                            )
+                            break
+                    elif sign * cur > sign * best:
+                        best = cur
+                        since_best = 0
+                    else:
+                        since_best += 1
+                        if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
+                            self.logger.info(
+                                "%s has not improved for %d epochs. Stopping training.",
+                                metric_key, cfg.early_stop_patience,
+                            )
+                            break
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            ckpt.wait()
+            ckpt.close()
         return history
 
     def test(self, test_loader, state: TrainState | None = None):

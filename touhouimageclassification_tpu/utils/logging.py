@@ -16,7 +16,16 @@ def get_logger(name: str, log_dir: str = "log") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     if not logger.handlers:
-        fh = logging.FileHandler(os.path.join(log_dir, f"{name}.log"))
+        # multi-host: non-primary processes log per-process files so hosts
+        # on shared storage never interleave writes into one .log
+        try:
+            import jax
+
+            pid = jax.process_index() if jax.process_count() > 1 else 0
+        except Exception:
+            pid = 0
+        suffix = f".p{pid}" if pid else ""
+        fh = logging.FileHandler(os.path.join(log_dir, f"{name}{suffix}.log"))
         ch = logging.StreamHandler(sys.stdout)
         fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
         for h in (fh, ch):
