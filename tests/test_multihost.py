@@ -161,6 +161,8 @@ else:  # mode == "preempt": SIGTERM lands ONLY on process 1
             self.loader, self.n, self.fired = loader, n, False
         def steps_per_epoch(self):
             return self.loader.steps_per_epoch()
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
         def __iter__(self):
             for i, b in enumerate(iter(self.loader)):
                 if pid == 1 and not self.fired and i == self.n:
@@ -175,11 +177,14 @@ else:  # mode == "preempt": SIGTERM lands ONLY on process 1
     from touhouimageclassification_tpu.train.checkpoint import (
         CheckpointManager)
     mgr = CheckpointManager(cfg.checkpoint, cfg.train_id)
-    assert mgr.latest_epoch() == 1, mgr.latest_epoch()  # partial epoch saved
+    assert mgr.latest_epoch() is None, mgr.latest_epoch()  # mid-epoch save
     mgr.close()
+    # resume finishes epoch 1 from the exact step, then runs epoch 2;
+    # the mid-epoch restore is a cooperative multi-process Orbax load
     trainer2 = Trainer(cfg, model=ViT(tiny))
     h2 = trainer2.fit(train, val, resume=True)
-    assert [r["epoch"] for r in h2] == [2], h2
+    assert [r["epoch"] for r in h2] == [1, 2], h2
+    assert int(trainer2.state.step) == 2 * train.steps_per_epoch()
     print(f"preempt ok {pid}", flush=True)
 """
 

@@ -181,9 +181,11 @@ def test_checkpoint_retention_caps_every_n(tmp_path):
 
 def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
     """TPU-VM preemption story: SIGTERM mid-epoch -> finish the in-flight
-    step, save a partial-epoch checkpoint, stop cleanly; a later fit()
-    auto-resumes after the partial epoch (maintenance-event / spot-reclaim
-    semantics; the reference has no analogue — Lightning just dies)."""
+    step, save a mid-epoch checkpoint keyed by GLOBAL optimizer step, stop
+    cleanly; a later fit() resumes at the exact step — no batch trained
+    twice, none skipped — so the preempted+resumed run ends BIT-IDENTICAL
+    to an uninterrupted control run. (The reference has no analogue —
+    Lightning just dies and restarts the epoch.)"""
     import json
     import signal
 
@@ -199,6 +201,9 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
 
         def steps_per_epoch(self):
             return self.loader.steps_per_epoch()
+
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
 
         def __iter__(self):
             for i, b in enumerate(iter(self.loader)):
@@ -216,17 +221,34 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
     from touhouimageclassification_tpu.train.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(cfg.checkpoint, cfg.train_id)
-    assert mgr.latest_epoch() == 1  # the partial epoch was checkpointed
+    assert mgr.latest_epoch() is None  # no FULL epoch was checkpointed
     mgr.close()
     with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
         last = json.loads(f.readlines()[-1])
     assert last["preempted"] is True
     assert 1 <= last["steps"] < train.steps_per_epoch()
+    steps_done = last["steps"]
 
-    # resume continues AFTER the partial epoch: epochs 2 and 3 run
+    # resume finishes epoch 1 from the exact batch, then runs epochs 2-3
     t2 = Trainer(cfg, model=model)
     h2 = t2.fit(train, val, resume=True)
-    assert [r["epoch"] for r in h2] == [2, 3]
+    assert [r["epoch"] for r in h2] == [1, 2, 3]
+    assert int(t2.state.step) == 3 * train.steps_per_epoch()
+    # the resumed first epoch trained only the REMAINING batches
+    assert h2[0]["images_per_second"] > 0
+
+    # control run, never preempted: same seed, same (seed, epoch)-keyed
+    # data order, same step-keyed RNG -> params must match exactly
+    cfg_c = _cfg(tmp_path / "control", max_epochs=3)
+    os.makedirs(str(tmp_path / "control"), exist_ok=True)
+    tc = Trainer(cfg_c, model=model)
+    tc.fit(*_loaders(dataset), resume=False)
+    assert steps_done < int(t2.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_loader_early_break_releases_producer(dataset):

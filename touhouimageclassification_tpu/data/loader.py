@@ -98,6 +98,7 @@ class HostImageLoader:
         self.prefetch_batches = prefetch_batches
         self.loop = loop
         self._epoch = 0
+        self._start_batch = 0
         self._native = None
         if decode_backend in ("auto", "native"):
             from . import native_loader
@@ -123,6 +124,18 @@ class HostImageLoader:
 
     def steps_per_epoch(self) -> int:
         return len(self)
+
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Pin the next epoch's shuffle order (DistributedSampler contract)
+        and optionally fast-forward ``start_batch`` GLOBAL batches into it.
+
+        The trainer calls this every epoch so the order is a function of
+        (seed, epoch) — reproducible across restarts — instead of a
+        per-instance counter that resets on resume. ``start_batch`` enables
+        exact-step preemption resume: skipped batches are never decoded.
+        """
+        self._epoch = epoch
+        self._start_batch = start_batch
 
     def _epoch_order(self) -> np.ndarray:
         order = self.subset
@@ -179,15 +192,18 @@ class HostImageLoader:
     def _iter_epoch(self, pool: ThreadPoolExecutor) -> Iterator[dict]:
         order = self._epoch_order()
         self._epoch += 1
+        skip = self._start_batch
+        self._start_batch = 0  # one-shot: later epochs start at batch 0
         # this process's strided slice of the (seed-shared) global order;
         # batch counts below use GLOBAL arithmetic so every process yields
         # the same number of batches regardless of its slice length
         local = order[self._pid::self._pcount] if self._pcount > 1 else order
         b = self._local_batch
         n_full = len(order) // self.batch_size
-        for i in range(n_full):
+        for i in range(skip, n_full):
             yield self._make_batch(local[i * b:(i + 1) * b], pool)
-        if not self.drop_last and len(order) > n_full * self.batch_size:
+        if (not self.drop_last and skip <= n_full
+                and len(order) > n_full * self.batch_size):
             yield self._make_batch(local[n_full * b:], pool)
 
     def __iter__(self) -> Iterator[dict]:

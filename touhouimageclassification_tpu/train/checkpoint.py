@@ -89,6 +89,9 @@ class CheckpointManager:
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()
 
+    def metrics(self, step: int) -> dict | None:
+        return self._mgr.metrics(step)
+
     def best_epoch(self) -> int | None:
         return self._mgr.best_step()
 

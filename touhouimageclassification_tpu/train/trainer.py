@@ -410,6 +410,16 @@ class Trainer:
             steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
         self.state = self.init_state(steps_per_epoch)
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
+        # mid-epoch preemption checkpoints live beside the full-epoch ones,
+        # keyed by GLOBAL optimizer step (monotonic -> never collides with
+        # a re-run of the same epoch); only the newest is retained
+        import dataclasses
+
+        partial = CheckpointManager(
+            dataclasses.replace(cfg.checkpoint, monitor=None, top_k=1,
+                                every_n_epochs=0, async_save=False),
+            cfg.train_id, directory=ckpt.directory + "_partial",
+        )
         start_epoch = 0
         if isinstance(resume, str) and resume:
             # --restore <path>: restore from an explicit checkpoint dir
@@ -431,6 +441,31 @@ class Trainer:
             )
             start_epoch = int(ckpt.latest_epoch())
             self.logger.info("Resumed from epoch %d", start_epoch)
+
+        # exact-step preemption resume: if a mid-epoch checkpoint is newer
+        # than the full-epoch resume point, restore it and fast-forward the
+        # loader — no batch is trained twice and none is skipped (the
+        # per-step RNG is keyed by state.step, so augmentation/mixup streams
+        # continue exactly)
+        resume_offset = 0
+        if resume is True:
+            pstep = partial.latest_epoch()
+            meta = partial.metrics(pstep) if pstep is not None else None
+            if meta is not None and int(meta.get("epoch_index", -1)) >= start_epoch:
+                self.state = shard_state(
+                    partial.restore(self.state), self.mesh, cfg.mesh.expert_axis
+                )
+                start_epoch = int(meta["epoch_index"])
+                resume_offset = int(meta.get("steps_done", 0))
+                self.logger.info(
+                    "Resumed mid-epoch %d at batch %d (preemption checkpoint, "
+                    "global step %d)", start_epoch + 1, resume_offset, pstep,
+                )
+                if resume_offset >= steps_per_epoch:
+                    # preempted exactly at the epoch boundary: the epoch is
+                    # complete (it just never ran val/save) — move past it
+                    start_epoch += 1
+                    resume_offset = 0
 
         k = max(1, cfg.steps_per_call)
         train_step = self._make_train_scan(k) if k > 1 else self._make_train_step()
@@ -464,6 +499,17 @@ class Trainer:
             for epoch in range(start_epoch, cfg.max_epochs):
                 t0 = time.time()
                 running, nsteps = 0.0, 0
+                epoch_offset = resume_offset if epoch == start_epoch else 0
+                if hasattr(train_loader, "set_epoch"):
+                    # reproducible (seed, epoch)-keyed shuffle across
+                    # restarts + fast-forward past already-trained batches
+                    train_loader.set_epoch(epoch, epoch_offset)
+                elif epoch_offset:
+                    self.logger.warning(
+                        "loader has no set_epoch(); cannot fast-forward %d "
+                        "batches — the first %d steps of epoch %d repeat.",
+                        epoch_offset, epoch_offset, epoch + 1,
+                    )
                 if k > 1:
                     it = self._stacked_iterator(train_loader, k)
                 else:
@@ -495,23 +541,22 @@ class Trainer:
                 dt = time.time() - t0
                 train_loss = running / max(nsteps, 1)
                 if self._preempted:
+                    done = epoch_offset + nsteps
                     if nsteps:
-                        # at-least-once epoch semantics: the partial epoch is
-                        # saved under epoch+1 so resume continues after it (the
-                        # unseen tail of this epoch is the accepted loss)
-                        fallback = (-train_loss if cfg.checkpoint.mode == "max"
-                                    else train_loss)
-                        ckpt.save(
-                            epoch + 1, self._saveable_state(),
-                            {cfg.checkpoint.monitor: fallback,
-                             "preempted_partial_epoch": 1.0},
+                        gstep = int(jax.device_get(self.state.step))
+                        partial.save(
+                            gstep, self._saveable_state(),
+                            {"epoch_index": float(epoch),
+                             "steps_done": float(done)},
                         )
+                        partial.wait()
                         self.logger.info(
-                            "Preemption checkpoint saved at epoch %d "
-                            "(partial, %d steps).", epoch + 1, nsteps,
+                            "Preemption checkpoint saved mid-epoch %d "
+                            "(batch %d/%d, global step %d).",
+                            epoch + 1, done, steps_per_epoch, gstep,
                         )
                     self._log_metrics({"epoch": epoch + 1, "preempted": True,
-                                       "steps": nsteps})
+                                       "steps": done})
                     break
                 record = {
                     "epoch": epoch + 1,
@@ -569,6 +614,7 @@ class Trainer:
                 signal.signal(signal.SIGTERM, prev_sigterm)
             ckpt.wait()
             ckpt.close()
+            partial.close()
         return history
 
     def test(self, test_loader, state: TrainState | None = None):
