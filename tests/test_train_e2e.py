@@ -251,6 +251,54 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
+    """A mid-epoch preemption checkpoint from an ABANDONED lineage (user
+    restarted with resume=False) must be purged, not restored later — and a
+    fresh preemption save must not lose to a stale higher-step one under
+    newest-only retention."""
+    import signal
+
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+
+    class KillDuring:
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
+
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    # run A: preempted mid-epoch 1 -> a partial checkpoint exists
+    cfg = _cfg(tmp_path, max_epochs=3)
+    Trainer(cfg, model=model).fit(KillDuring(train, 2), val, resume=False)
+    partial_dir = os.path.join(str(tmp_path / "ckpt"), "test_run_partial")
+    assert any(d.isdigit() for d in os.listdir(partial_dir))
+
+    # run B: fresh start (resume=False) -> stale partial purged
+    cfg_b = _cfg(tmp_path, max_epochs=1)
+    tb = Trainer(cfg_b, model=model)
+    hb = tb.fit(train, val, resume=False)
+    assert [r["epoch"] for r in hb] == [1]
+    assert not any(d.isdigit() for d in os.listdir(partial_dir))
+
+    # run C: auto-resume continues from run B's FULL epoch, not run A
+    cfg_c = _cfg(tmp_path, max_epochs=2)
+    tc = Trainer(cfg_c, model=model)
+    hc = tc.fit(train, val, resume=True)
+    assert [r["epoch"] for r in hc] == [2]
+    assert int(tc.state.step) == 2 * train.steps_per_epoch()
+
+
 def test_loader_early_break_releases_producer(dataset):
     """Breaking out of a loader mid-epoch must not wedge the producer thread
     (review finding: q.put blocked forever on a full queue)."""

@@ -410,17 +410,40 @@ class Trainer:
             steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
         self.state = self.init_state(steps_per_epoch)
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
-        # mid-epoch preemption checkpoints live beside the full-epoch ones,
-        # keyed by GLOBAL optimizer step (monotonic -> never collides with
-        # a re-run of the same epoch); only the newest is retained
+        # Mid-epoch preemption checkpoints live in a `<run>_partial` sibling
+        # directory, keyed by GLOBAL optimizer step (monotonic -> never
+        # collides with a re-run of the same epoch); only the newest is
+        # retained. The manager is built lazily so non-preempted runs never
+        # create the directory.
         import dataclasses
 
-        partial = CheckpointManager(
-            dataclasses.replace(cfg.checkpoint, monitor=None, top_k=1,
-                                every_n_epochs=0, async_save=False),
-            cfg.train_id, directory=ckpt.directory + "_partial",
+        partial_dir = ckpt.directory + "_partial"
+        partial_cfg = dataclasses.replace(
+            cfg.checkpoint, monitor=None, top_k=1, every_n_epochs=0,
+            async_save=False,
         )
+        _partial_box: list[CheckpointManager] = []
+
+        def partial_mgr() -> CheckpointManager:
+            if not _partial_box:
+                _partial_box.append(CheckpointManager(
+                    partial_cfg, cfg.train_id, directory=partial_dir))
+            return _partial_box[0]
+
+        def partial_on_disk() -> bool:
+            return os.path.isdir(partial_dir) and any(
+                d.isdigit() for d in os.listdir(partial_dir))
+
+        def purge_partial() -> None:
+            """Stale mid-epoch saves from an abandoned lineage must never
+            resurrect (or outrank a fresh save under LatestN retention)."""
+            if partial_on_disk():
+                m = partial_mgr()
+                for s in list(m._mgr.all_steps()):
+                    m._mgr.delete(s)
+
         start_epoch = 0
+        resume_offset = 0
         if isinstance(resume, str) and resume:
             # --restore <path>: restore from an explicit checkpoint dir
             # (reference ckpt_path semantics) while new saves go to the
@@ -435,37 +458,47 @@ class Trainer:
             start_epoch = int(src.latest_epoch())
             src.close()
             self.logger.info("Restored %s (epoch %d)", resume, start_epoch)
-        elif resume and ckpt.latest_epoch() is not None:
-            self.state = shard_state(
-                ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
-            )
-            start_epoch = int(ckpt.latest_epoch())
-            self.logger.info("Resumed from epoch %d", start_epoch)
-
-        # exact-step preemption resume: if a mid-epoch checkpoint is newer
-        # than the full-epoch resume point, restore it and fast-forward the
-        # loader — no batch is trained twice and none is skipped (the
-        # per-step RNG is keyed by state.step, so augmentation/mixup streams
-        # continue exactly)
-        resume_offset = 0
-        if resume is True:
-            pstep = partial.latest_epoch()
-            meta = partial.metrics(pstep) if pstep is not None else None
-            if meta is not None and int(meta.get("epoch_index", -1)) >= start_epoch:
+            purge_partial()  # explicit restore starts a new lineage
+        elif resume:
+            # auto-resume from the NEWER of the full-epoch and mid-epoch
+            # checkpoints (decided before restoring — a full multi-GB
+            # restore must not be read just to be thrown away). A mid-epoch
+            # restore fast-forwards the loader: no batch is trained twice
+            # and none is skipped (per-step RNG is keyed by state.step, so
+            # augmentation/mixup streams continue exactly).
+            full_epoch = ckpt.latest_epoch()
+            meta = None
+            if partial_on_disk():
+                pstep = partial_mgr().latest_epoch()
+                meta = partial_mgr().metrics(pstep) if pstep is not None else None
+            p_epoch = int(meta.get("epoch_index", -1)) if meta else -1
+            if meta is not None and p_epoch >= (full_epoch or 0):
                 self.state = shard_state(
-                    partial.restore(self.state), self.mesh, cfg.mesh.expert_axis
+                    partial_mgr().restore(self.state), self.mesh,
+                    cfg.mesh.expert_axis,
                 )
-                start_epoch = int(meta["epoch_index"])
+                start_epoch = p_epoch
                 resume_offset = int(meta.get("steps_done", 0))
                 self.logger.info(
-                    "Resumed mid-epoch %d at batch %d (preemption checkpoint, "
-                    "global step %d)", start_epoch + 1, resume_offset, pstep,
+                    "Resumed mid-epoch %d at batch %d (preemption "
+                    "checkpoint, global step %d)",
+                    start_epoch + 1, resume_offset, pstep,
                 )
                 if resume_offset >= steps_per_epoch:
                     # preempted exactly at the epoch boundary: the epoch is
                     # complete (it just never ran val/save) — move past it
                     start_epoch += 1
                     resume_offset = 0
+            elif full_epoch is not None:
+                self.state = shard_state(
+                    ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
+                )
+                start_epoch = int(full_epoch)
+                self.logger.info("Resumed from epoch %d", start_epoch)
+                if meta is not None:
+                    purge_partial()  # older than the full save: stale
+        else:
+            purge_partial()  # resume=False: fresh lineage
 
         k = max(1, cfg.steps_per_call)
         train_step = self._make_train_scan(k) if k > 1 else self._make_train_step()
@@ -483,6 +516,7 @@ class Trainer:
 
         self._preempted = False
         prev_sigterm = None
+        handler_installed = False
 
         def _on_sigterm(signum, frame):
             self._preempted = True
@@ -493,6 +527,7 @@ class Trainer:
 
         if threading.current_thread() is threading.main_thread():
             prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            handler_installed = True
 
         profiled = False
         try:
@@ -521,7 +556,8 @@ class Trainer:
                         # the others' next collective)
                         self._preempted = True
                         break
-                    if cfg.limit_train_batches and i * k >= cfg.limit_train_batches:
+                    if (cfg.limit_train_batches
+                            and epoch_offset + i * k >= cfg.limit_train_batches):
                         break
                     if cfg.profile_dir and not profiled and i == 1:
                         # trace a few steady-state steps once per run
@@ -540,16 +576,24 @@ class Trainer:
                     nsteps += k
                 dt = time.time() - t0
                 train_loss = running / max(nsteps, 1)
-                if self._preempted:
+                # ONE post-loop agreement per epoch: a SIGTERM that lands
+                # after a host's last in-loop check (during the epoch's final
+                # step) must still be agreed, or that host alone would take
+                # the cooperative-save/break path below and the others would
+                # sail into eval/save collectives — a deadlock. Every process
+                # calls this exactly once per epoch, whichever way the inner
+                # loop ended, so the collectives stay matched.
+                if self._agree_preempted():
+                    self._preempted = True
                     done = epoch_offset + nsteps
                     if nsteps:
                         gstep = int(jax.device_get(self.state.step))
-                        partial.save(
+                        partial_mgr().save(
                             gstep, self._saveable_state(),
                             {"epoch_index": float(epoch),
                              "steps_done": float(done)},
                         )
-                        partial.wait()
+                        partial_mgr().wait()
                         self.logger.info(
                             "Preemption checkpoint saved mid-epoch %d "
                             "(batch %d/%d, global step %d).",
@@ -610,11 +654,17 @@ class Trainer:
                             )
                             break
         finally:
-            if prev_sigterm is not None:
-                signal.signal(signal.SIGTERM, prev_sigterm)
+            if handler_installed:
+                # prev may be None for a handler installed outside Python
+                # (C level); SIG_DFL is the closest restorable behavior —
+                # never leave our flag-only handler active after fit()
+                signal.signal(signal.SIGTERM,
+                              prev_sigterm if prev_sigterm is not None
+                              else signal.SIG_DFL)
             ckpt.wait()
             ckpt.close()
-            partial.close()
+            if _partial_box:
+                _partial_box[0].close()
         return history
 
     def test(self, test_loader, state: TrainState | None = None):

@@ -30,8 +30,12 @@ def calculate_mean_std(
     from ..data.loader import HostImageLoader
 
     index = scan_image_folder(data_dir, persist_class_map=False)
+    # statistics must cover the FULL dataset on every host: pin a
+    # single-process view so multi-process JAX doesn't stride-shard the
+    # scan (every host then computes — and caches — identical values)
     loader = HostImageLoader(
-        index, batch_size=batch_size, canvas=image_size, shuffle=False, drop_last=False
+        index, batch_size=batch_size, canvas=image_size, shuffle=False,
+        drop_last=False, process_shard=(0, 1),
     )
     mean = np.zeros(3, np.float64)
     std = np.zeros(3, np.float64)
