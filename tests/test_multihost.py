@@ -153,6 +153,56 @@ if mode == "fit":
     assert [r["epoch"] for r in h2] == [3], h2
     print(f"fit ok {pid} loss={history[-1]['train_loss']:.6f} "
           f"val={history[-1]['val_acc']:.4f}", flush=True)
+elif mode == "ep":
+    # pure-EP mesh (data=1, expert=2) across 2 hosts: the batch is
+    # REPLICATED across processes, so process_input_view must tell every
+    # host to load ALL of it, and the expert stacks are process-spanning
+    # sharded arrays that must checkpoint/restore cooperatively.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from touhouimageclassification_tpu.config import MeshConfig, MoEConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+    from touhouimageclassification_tpu.parallel.mesh import (
+        create_mesh, data_sharding as dsh, process_input_view)
+    from touhouimageclassification_tpu.parallel.sharding import shard_state
+    from touhouimageclassification_tpu.train.checkpoint import (
+        CheckpointManager)
+    from touhouimageclassification_tpu.train.tasks import MoETask
+
+    mesh_ep = create_mesh(num_data=1, num_expert=2)
+    assert process_input_view(dsh(mesh_ep)) == (0, 1)
+    moe = MoEConfig(num_experts=2, top_k=1, num_classes=3, routing="sparse",
+                    capacity_factor=2.0, expert_vit=tiny)
+    cfg_ep = dataclasses.replace(cfg, train_id="mh_ep", model_type="vit-moe",
+                                 mesh=MeshConfig(num_expert_shards=2),
+                                 max_epochs=1)
+
+    def make():
+        return Trainer(cfg_ep, model=MoEClassifier(moe), task=MoETask(moe),
+                       mesh=mesh_ep)
+
+    tr = make()
+    h = tr.fit(train, val, resume=False)
+    assert len(h) == 1 and np.isfinite(h[0]["train_loss"]), h
+    # trainer overrode the loader's process_count auto-split: full batches
+    assert (train._pid, train._pcount) == (0, 1)
+    leaf = jax.tree_util.tree_leaves(tr.state.params["experts"])[0]
+    assert "expert" in str(leaf.sharding.spec)
+    assert not leaf.is_fully_addressable  # spans both hosts
+
+    sum_fn = jax.jit(
+        lambda p: sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(p)),
+        out_shardings=NamedSharding(mesh_ep, P()))
+    s1 = float(sum_fn(tr.state.params["experts"]))
+    # cooperative restore: each host reads back only its expert shards
+    tr2 = make()
+    st2 = tr2.init_state(4)
+    mgr = CheckpointManager(cfg_ep.checkpoint, "mh_ep")
+    restored = shard_state(mgr.restore(st2), mesh_ep)
+    mgr.close()
+    s2 = float(sum_fn(restored.params["experts"]))
+    assert s2 == s1, (s1, s2)
+    print(f"ep ok {pid}", flush=True)
 else:  # mode == "preempt": SIGTERM lands ONLY on process 1
     import signal
 
@@ -311,3 +361,12 @@ def test_two_process_preemption_agreement(tmp_path):
     deadlock the survivor's next all-reduce), save one cooperative partial
     checkpoint, and both resume past it."""
     _run_fit_children(tmp_path, "preempt")
+
+
+def test_two_process_expert_parallel_fit_and_checkpoint(tmp_path):
+    """Pure-EP mesh across two hosts: the batch is replicated across
+    processes (process_input_view overrides the loader's process_count
+    split so both hosts load full batches), the expert stacks train as
+    process-spanning sharded arrays, and checkpointing them is cooperative
+    — each host writes/reads only its expert shards."""
+    _run_fit_children(tmp_path, "ep")

@@ -74,6 +74,30 @@ def test_indivisible_global_batch_raises(dataset):
         HostImageLoader(index, batch_size=7, process_shard=(0, 2))
 
 
+def test_process_input_view_and_override(dataset, mesh8):
+    """Single-process: every mesh reads the whole batch (view (0, 1));
+    `set_process_view` overrides a loader's auto split (the trainer pushes
+    the mesh-derived view into loaders it is handed)."""
+    from touhouimageclassification_tpu.parallel.mesh import (
+        create_mesh, data_sharding, process_input_view,
+    )
+
+    assert process_input_view(data_sharding(mesh8)) == (0, 1)
+    ep_mesh = create_mesh(num_data=2, num_expert=4)
+    assert process_input_view(data_sharding(ep_mesh)) == (0, 1)
+
+    index = scan_image_folder(dataset)
+    loader = HostImageLoader(index, batch_size=4, canvas=(16, 16),
+                             shuffle=False, process_shard=(1, 2))
+    assert loader._local_batch == 2
+    loader.set_process_view(0, 1)
+    first = next(iter(loader))
+    assert first["image"].shape == (4, 16, 16, 3)  # full global batch
+    assert first["mask"].all()
+    with pytest.raises(ValueError, match="not divisible"):
+        loader.set_process_view(0, 3)
+
+
 def test_put_global_single_process_matches_device_put(mesh8):
     from jax.sharding import NamedSharding, PartitionSpec as P
 

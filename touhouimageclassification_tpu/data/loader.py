@@ -125,6 +125,23 @@ class HostImageLoader:
     def steps_per_epoch(self) -> int:
         return len(self)
 
+    def set_process_view(self, pid: int, pcount: int) -> None:
+        """Override the multi-process input split.
+
+        The ``process_shard='auto'`` default splits by ``jax.process_count()``
+        — right only when the batch mesh axis aligns with process boundaries.
+        The trainer calls this with ``parallel.mesh.process_input_view`` of
+        the actual batch sharding (e.g. a pure-EP mesh replicates the batch
+        across hosts, so every host must load ALL of it: view (0, 1)).
+        """
+        if self.batch_size % pcount:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by "
+                f"{pcount} input shards"
+            )
+        self._pid, self._pcount = pid, pcount
+        self._local_batch = self.batch_size // pcount
+
     def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
         """Pin the next epoch's shuffle order (DistributedSampler contract)
         and optionally fast-forward ``start_batch`` GLOBAL batches into it.

@@ -65,6 +65,46 @@ def _global_shape(local_shape, sharding: NamedSharding):
     return tuple(shape)
 
 
+def process_input_view(sharding: NamedSharding) -> tuple[int, int]:
+    """(shard_index, num_shards) of THIS process's slice of a global batch
+    whose leading dim is sharded as ``sharding.spec[0]``.
+
+    ``jax.process_count()`` is the right split only when the batch axis
+    aligns with process boundaries. In general each process must supply
+    exactly the rows its devices own: processes whose devices cover the
+    same batch-axis coordinates (e.g. a pure-EP ``(data=1, expert=P)``
+    mesh, where the batch is replicated across hosts) belong to the same
+    input shard and must load IDENTICAL data — give them the same index.
+
+    Returns (0, 1) when the batch dim is unsharded or single-process.
+    """
+    if jax.process_count() == 1:
+        return (0, 1)
+    mesh = sharding.mesh
+    spec0 = sharding.spec[0] if len(sharding.spec) else None
+    if spec0 is None:
+        return (0, 1)  # replicated batch: every host loads everything
+    axes = spec0 if isinstance(spec0, tuple) else (spec0,)
+    axis_ids = [mesh.axis_names.index(a) for a in axes]
+    # per-process set of batch-axis coordinate tuples its devices cover
+    owners: dict[int, set] = {}
+    for idx in np.ndindex(mesh.devices.shape):
+        coord = tuple(idx[i] for i in axis_ids)
+        owners.setdefault(mesh.devices[idx].process_index, set()).add(coord)
+    groups = sorted({frozenset(v) for v in owners.values()},
+                    key=lambda g: min(g))
+    union = set().union(*groups)
+    if (len({len(g) for g in groups}) != 1
+            or sum(len(g) for g in groups) != len(union)):
+        raise ValueError(
+            "device-to-process layout does not tile the batch axis into "
+            "equal disjoint process groups; re-order mesh devices so each "
+            f"host owns a contiguous slab (got groups {groups})"
+        )
+    mine = frozenset(owners[jax.process_index()])
+    return (groups.index(mine), len(groups))
+
+
 def make_global_array(x, sharding: NamedSharding):
     """Assemble a global ``jax.Array`` from this process's local data.
 

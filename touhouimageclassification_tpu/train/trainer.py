@@ -125,6 +125,12 @@ class Trainer:
         self.param_filter = param_filter
         self._batch_sharding = data_sharding(self.mesh, cfg.mesh.data_axis)
         self._replicated = replicated(self.mesh)
+        # which slice of each global batch THIS process must load — derived
+        # from actual device ownership, not process_count (a pure-EP mesh
+        # replicates the batch across hosts: every host loads all of it)
+        from ..parallel.mesh import process_input_view
+
+        self._input_view = process_input_view(self._batch_sharding)
         self.tx: optax.GradientTransformation | None = None
         self.state: TrainState | None = None
         self._metrics_path = os.path.join(cfg.log_dir, cfg.train_id, "metrics.jsonl")
@@ -385,8 +391,13 @@ class Trainer:
                 group = []
         # drop the ragged tail (train loaders already drop_last per epoch)
 
+    def _apply_input_view(self, loader) -> None:
+        if loader is not None and hasattr(loader, "set_process_view"):
+            loader.set_process_view(*self._input_view)
+
     def evaluate(self, loader, state: TrainState | None = None, limit: int = 0):
         state = state if state is not None else self.state
+        self._apply_input_view(loader)
         eval_step = getattr(self, "_eval_step", None)
         if eval_step is None:
             eval_step = self._eval_step = self._make_eval_step()
@@ -405,6 +416,7 @@ class Trainer:
 
     def fit(self, train_loader, val_loader=None, resume: bool | str = True):
         cfg = self.cfg
+        self._apply_input_view(train_loader)
         steps_per_epoch = train_loader.steps_per_epoch()
         if cfg.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
