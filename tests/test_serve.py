@@ -61,6 +61,35 @@ def test_padding_does_not_change_results(predictor):
     np.testing.assert_allclose(full_conf[0], one_conf[0], atol=1e-5)
 
 
+def test_mesh_sharded_predictor_matches_single_device(predictor, dataset):
+    """Predictor(mesh=...) shards judge batches over the 'data' axis (params
+    replicated) — predictions/confidences must equal the single-device path;
+    buckets smaller than the mesh are replicated instead."""
+    from touhouimageclassification_tpu.parallel.mesh import create_mesh
+
+    index = scan_image_folder(dataset)
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    mesh = create_mesh(num_data=8)
+    sharded = Predictor(
+        model=model, params=params, model_state={},
+        class_to_idx=index.class_to_idx, image_size=(32, 32),
+        mean=np.array([0.5, 0.5, 0.5]), std=np.array([0.25, 0.25, 0.25]),
+        mesh=mesh,
+    )
+    for n in (1, 3, 8, 64):  # 1 and 3 pad to bucket 1/8; 8 and 64 shard
+        imgs = np.random.default_rng(n).integers(
+            0, 256, (n, 32, 32, 3)).astype(np.uint8)
+        p1, c1 = predictor.predict_array(imgs)
+        p8, c8 = sharded.predict_array(imgs)
+        np.testing.assert_array_equal(p1, p8)
+        np.testing.assert_allclose(c1, c8, atol=1e-5)
+    # the 64-bucket judge batch is actually batch-sharded over the mesh
+    put = sharded._put_batch(np.zeros((64, 32, 32, 3), np.uint8))
+    assert len(put.sharding.device_set) == 8
+
+
 def test_serve_single_image(predictor, dataset):
     from PIL import Image
 
