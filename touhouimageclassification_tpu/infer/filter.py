@@ -82,6 +82,9 @@ def main(argv=None):
     parser.add_argument("--weights", type=str, default=None)
     parser.add_argument("--image", type=str, default=None,
                         help="Dataset folder the judge scores (with --model).")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="shard judge batches over this many devices "
+                             "(0/1 = single device)")
     args = parser.parse_args(argv)
 
     if args.model is None:
@@ -94,7 +97,7 @@ def main(argv=None):
         raise SystemExit("--image is required with --model")
     judge_csv = args.csv_file or "filter_temp.csv"
     predictor = serve_mod.init(modelt=args.model, weights=args.weights,
-                               data_dir=args.image)
+                               data_dir=args.image, dp=args.dp)
     serve_mod.full_judge(predictor, args.image, judge_csv)
     try:
         filter(judge_csv, args.output_directory)
