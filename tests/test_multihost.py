@@ -107,7 +107,8 @@ from touhouimageclassification_tpu.parallel.dist import initialize_distributed
 pid, port, root, data, work, mode = (int(sys.argv[1]), sys.argv[2],
                                      sys.argv[3], sys.argv[4], sys.argv[5],
                                      sys.argv[6])
-assert initialize_distributed(f"localhost:{port}", 2, pid)
+nprocs = int(sys.argv[7]) if len(sys.argv) > 7 else 2
+assert initialize_distributed(f"localhost:{port}", nprocs, pid)
 
 import numpy as np
 from touhouimageclassification_tpu.config import (
@@ -139,7 +140,7 @@ train = HostImageLoader(index, tr, batch_size=8, canvas=(32, 32),
                         shuffle=True, seed=0, drop_last=True)
 val = HostImageLoader(index, va, batch_size=8, canvas=(32, 32),
                       drop_last=False)
-assert train._pcount == 2 and train._local_batch == 4
+assert train._pcount == nprocs and train._local_batch == 8 // nprocs
 
 if mode == "fit":
     trainer = Trainer(cfg, model=ViT(tiny))
@@ -203,6 +204,36 @@ elif mode == "ep":
     s2 = float(sum_fn(restored.params["experts"]))
     assert s2 == s1, (s1, s2)
     print(f"ep ok {pid}", flush=True)
+elif mode == "dp_ep":
+    # (data=2, expert=2) mesh over 4 single-device hosts: each data
+    # coordinate's devices live on TWO processes, so process_input_view
+    # groups them — hosts {0,1} load IDENTICAL first half-batches and
+    # hosts {2,3} the second half (count=2, not process_count=4) — while
+    # the expert axis shards the expert stacks across the pairs.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from touhouimageclassification_tpu.config import MeshConfig, MoEConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+    from touhouimageclassification_tpu.parallel.mesh import (
+        create_mesh, data_sharding as dsh, process_input_view)
+    from touhouimageclassification_tpu.train.tasks import MoETask
+
+    mesh4 = create_mesh(num_data=2, num_expert=2)
+    assert process_input_view(dsh(mesh4)) == (pid // 2, 2), (
+        pid, process_input_view(dsh(mesh4)))
+    moe = MoEConfig(num_experts=2, top_k=1, num_classes=3, routing="sparse",
+                    capacity_factor=2.0, expert_vit=tiny)
+    cfg4 = dataclasses.replace(cfg, train_id="mh_dpep", model_type="vit-moe",
+                               mesh=MeshConfig(num_expert_shards=2),
+                               max_epochs=1)
+    tr4 = Trainer(cfg4, model=MoEClassifier(moe), task=MoETask(moe),
+                  mesh=mesh4)
+    h = tr4.fit(train, val, resume=False)
+    assert len(h) == 1 and np.isfinite(h[0]["train_loss"]), h
+    assert (train._pid, train._pcount) == (pid // 2, 2)
+    leaf = jax.tree_util.tree_leaves(tr4.state.params["experts"])[0]
+    assert "expert" in str(leaf.sharding.spec)
+    print(f"dp_ep ok {pid} loss={h[0]['train_loss']:.6f}", flush=True)
 else:  # mode == "preempt": SIGTERM lands ONLY on process 1
     import signal
 
@@ -305,7 +336,7 @@ def test_two_process_sharded_input_pipeline(tmp_path):
         assert f"pipeline ok {pid}" in out
 
 
-def _run_fit_children(tmp_path, mode, timeout=420):
+def _run_fit_children(tmp_path, mode, timeout=420, nprocs=2):
     from fixtures import make_image_folder
 
     data = make_image_folder(str(tmp_path / "data"), num_classes=3,
@@ -318,10 +349,10 @@ def _run_fit_children(tmp_path, mode, timeout=420):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _CHILD_FIT, str(pid), str(port), _ROOT,
-             data, work, mode],
+             data, work, mode, str(nprocs)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -361,6 +392,19 @@ def test_two_process_preemption_agreement(tmp_path):
     deadlock the survivor's next all-reduce), save one cooperative partial
     checkpoint, and both resume past it."""
     _run_fit_children(tmp_path, "preempt")
+
+
+def test_four_process_dp_ep_fit(tmp_path):
+    """(data=2, expert=2) over 4 single-device hosts — the GROUPED input
+    case: each data coordinate spans two processes, so process_input_view
+    tells host pairs {0,1} and {2,3} to load identical half-batches
+    (count=2, not process_count=4) while experts shard across the pairs.
+    The replicated loss must agree across all four hosts."""
+    import re
+
+    outs, _ = _run_fit_children(tmp_path, "dp_ep", timeout=600, nprocs=4)
+    losses = {re.search(r"loss=(\S+)", out).group(1) for _, out, _ in outs}
+    assert len(losses) == 1, f"hosts disagree: {losses}"
 
 
 def test_two_process_expert_parallel_fit_and_checkpoint(tmp_path):
