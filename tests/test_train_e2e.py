@@ -251,6 +251,53 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_preemption_resume_mid_accumulation_window(dataset, tmp_path):
+    """Grad accumulation x exact-step resume: preempting INSIDE an
+    optax.MultiSteps accumulation window must restore the half-filled
+    accumulator (it lives in opt_state) and continue bit-identically."""
+    import signal
+
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+    opt = OptimizerConfig(name="adamw", learning_rate=3e-3, weight_decay=0.0,
+                          grad_accum_steps=2)
+
+    class KillDuring:
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
+
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    # steps_per_epoch=6, accum=2 -> kill after 3 micro-batches: the third
+    # accumulation window is half-filled at the preemption point
+    cfg = _cfg(tmp_path, max_epochs=2, optimizer=opt)
+    h1 = Trainer(cfg, model=model).fit(KillDuring(train, 3), val, resume=False)
+    assert h1 == []
+    t2 = Trainer(cfg, model=model)
+    h2 = t2.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h2] == [1, 2]
+
+    cfg_c = _cfg(tmp_path / "control", max_epochs=2, optimizer=opt)
+    tc = Trainer(cfg_c, model=model)
+    tc.fit(*_loaders(dataset), resume=False)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     """A mid-epoch preemption checkpoint from an ABANDONED lineage (user
     restarted with resume=False) must be purged, not restored later — and a
