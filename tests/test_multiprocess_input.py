@@ -88,7 +88,9 @@ def test_process_input_view_and_override(dataset, mesh8):
 
     index = scan_image_folder(dataset)
     loader = HostImageLoader(index, batch_size=4, canvas=(16, 16),
-                             shuffle=False, process_shard=(1, 2))
+                             shuffle=False)  # auto -> (0, 1) single-process
+    loader.set_process_view(1, 2)
+    assert (loader._pid, loader._pcount) == (1, 2)
     assert loader._local_batch == 2
     loader.set_process_view(0, 1)
     first = next(iter(loader))
@@ -96,6 +98,50 @@ def test_process_input_view_and_override(dataset, mesh8):
     assert first["mask"].all()
     with pytest.raises(ValueError, match="not divisible"):
         loader.set_process_view(0, 3)
+    # an explicitly pinned view outranks the mesh-derived override
+    pinned = HostImageLoader(index, batch_size=4, canvas=(16, 16),
+                             shuffle=False, process_shard=(0, 1))
+    pinned.set_process_view(1, 2)
+    assert (pinned._pid, pinned._pcount) == (0, 1)
+
+
+def test_view_from_owners_groupings():
+    """The pure grouping core of process_input_view, driven with synthetic
+    ownership maps (a real grouped layout needs 4+ live processes):
+    disjoint slabs, shared-coordinate groups, and every rejection path."""
+    from touhouimageclassification_tpu.parallel.mesh import _view_from_owners
+
+    # plain DP: 2 processes own disjoint halves of a data axis of 4
+    owners = {0: {(0,), (1,)}, 1: {(2,), (3,)}}
+    assert _view_from_owners(owners, 0, [4]) == (0, 2)
+    assert _view_from_owners(owners, 1, [4]) == (1, 2)
+    # pure EP: both processes cover the single data coordinate -> one group
+    owners = {0: {(0,)}, 1: {(0,)}}
+    assert _view_from_owners(owners, 1, [1]) == (0, 1)
+    # grouped 4-process (data=2, expert=2): pairs share each coordinate
+    owners = {0: {(0,)}, 1: {(0,)}, 2: {(1,)}, 3: {(1,)}}
+    for p in (0, 1):
+        assert _view_from_owners(owners, p, [2]) == (0, 2)
+    for p in (2, 3):
+        assert _view_from_owners(owners, p, [2]) == (1, 2)
+    # tuple axes: (data, expert) both shard dim0; rank order is row-major
+    owners = {0: {(0, 0), (0, 1)}, 1: {(1, 0), (1, 1)}}
+    assert _view_from_owners(owners, 1, [2, 2]) == (1, 2)
+    # interleaved ownership is rejected (documented contiguous-slab contract)
+    owners = {0: {(0,), (2,)}, 1: {(1,), (3,)}}
+    with pytest.raises(ValueError, match="contiguous"):
+        _view_from_owners(owners, 0, [4])
+    # unequal group sizes are rejected
+    owners = {0: {(0,), (1,), (2,)}, 1: {(3,)}}
+    with pytest.raises(ValueError, match="equal"):
+        _view_from_owners(owners, 0, [4])
+    # overlapping-but-not-identical coverage is rejected
+    owners = {0: {(0,), (1,)}, 1: {(1,), (2,)}, 2: {(3,), (0,)}}
+    with pytest.raises(ValueError):
+        _view_from_owners(owners, 0, [4])
+    # a process with no devices in the mesh cannot feed input
+    with pytest.raises(ValueError, match="owns no devices"):
+        _view_from_owners({0: {(0,)}}, 1, [1])
 
 
 def test_put_global_single_process_matches_device_put(mesh8):

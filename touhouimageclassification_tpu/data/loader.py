@@ -78,9 +78,11 @@ class HostImageLoader:
         # DistributedSampler contract) and the global batch is assembled
         # device-side by ``device_put_iterator``. Every process yields the
         # same number of batches per epoch so collectives stay in lockstep.
-        # An explicit ``(pid, count)`` tuple overrides JAX's process view.
+        # An explicit ``(pid, count)`` tuple overrides JAX's process view
+        # AND the trainer's later mesh-derived ``set_process_view``.
         self._pid, self._pcount = 0, 1
-        if isinstance(process_shard, tuple):
+        self._pinned_view = isinstance(process_shard, tuple)
+        if self._pinned_view:
             self._pid, self._pcount = process_shard
         elif process_shard == "auto" or process_shard is True:
             import jax
@@ -133,7 +135,19 @@ class HostImageLoader:
         The trainer calls this with ``parallel.mesh.process_input_view`` of
         the actual batch sharding (e.g. a pure-EP mesh replicates the batch
         across hosts, so every host must load ALL of it: view (0, 1)).
+        A loader constructed with an explicit ``(pid, count)`` tuple keeps
+        its pinned view (the caller asked for exactly that coverage).
         """
+        if self._pinned_view:
+            if (pid, pcount) != (self._pid, self._pcount):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "loader has an explicitly pinned process view %s; "
+                    "keeping it over the mesh-derived view %s",
+                    (self._pid, self._pcount), (pid, pcount),
+                )
+            return
         if self.batch_size % pcount:
             raise ValueError(
                 f"global batch {self.batch_size} not divisible by "

@@ -151,14 +151,18 @@ class Predictor:
     def _put_batch(self, padded: np.ndarray):
         if self._batch_sharding is None:
             return padded
-        if padded.shape[0] % self.mesh.size == 0:
+        if padded.shape[0] % self.mesh.shape["data"] == 0:
             return jax.device_put(padded, self._batch_sharding)
         return jax.device_put(padded, self._replicated)
 
     def warmup(self, buckets=BUCKETS) -> None:
         for b in buckets:
             dummy = np.zeros((b, *self.image_size, 3), np.uint8)
-            np.asarray(self._predict(self._params, self._model_state, dummy))
+            # through _put_batch so the executables compiled here have the
+            # SAME input shardings predict_array uses (a different input
+            # sharding is a fresh multi-minute compile on a remote chip)
+            np.asarray(self._predict(
+                self._params, self._model_state, self._put_batch(dummy)))
 
     def predict_array(self, images_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(N,H,W,3) uint8 -> (pred_idx (N,), confidence (N,)). Pads to the
@@ -258,8 +262,18 @@ def init(
     if dp and dp > 1:
         from ..parallel.mesh import create_mesh
 
+        # a dp that divides no compile bucket would silently shard nothing;
+        # clamp to the largest divisor of the biggest bucket (and of the
+        # device count) and say so
         n = min(dp, len(jax.devices()))
-        mesh = create_mesh(num_data=n, devices=jax.devices()[:n])
+        while n > 1 and BUCKETS[-1] % n:
+            n -= 1
+        if n != dp:
+            print(f"--dp {dp} adjusted to {n} "
+                  f"(must divide the {BUCKETS[-1]}-image judge bucket and "
+                  f"fit {len(jax.devices())} devices)")
+        if n > 1:
+            mesh = create_mesh(num_data=n, devices=jax.devices()[:n])
     return Predictor(
         model=model, params=params, model_state=model_state,
         class_to_idx=class_to_idx, image_size=image_size, mean=mean, std=std,

@@ -91,17 +91,41 @@ def process_input_view(sharding: NamedSharding) -> tuple[int, int]:
     for idx in np.ndindex(mesh.devices.shape):
         coord = tuple(idx[i] for i in axis_ids)
         owners.setdefault(mesh.devices[idx].process_index, set()).add(coord)
+    axis_sizes = [mesh.shape[a] for a in axes]
+    return _view_from_owners(owners, jax.process_index(), axis_sizes)
+
+
+def _view_from_owners(owners: dict, me: int, axis_sizes) -> tuple[int, int]:
+    """Pure core of :func:`process_input_view`: group processes by the
+    batch-axis coordinate sets their devices cover and return
+    (group_index_of_me, group_count). Unit-testable with synthetic
+    ownership maps (a real grouped layout needs 4+ processes)."""
+    if me not in owners:
+        raise ValueError(
+            "this process owns no devices in the mesh, so it has no input "
+            "shard to load; build the mesh over devices of every "
+            "participating process (or exclude this process from the run)"
+        )
+
+    def ranks(group):
+        return sorted(int(np.ravel_multi_index(c, axis_sizes)) for c in group)
+
     groups = sorted({frozenset(v) for v in owners.values()},
-                    key=lambda g: min(g))
+                    key=lambda g: min(ranks(g)))
     union = set().union(*groups)
+    contiguous = all(
+        r[-1] - r[0] + 1 == len(r) for r in (ranks(g) for g in groups)
+    )
     if (len({len(g) for g in groups}) != 1
-            or sum(len(g) for g in groups) != len(union)):
+            or sum(len(g) for g in groups) != len(union)
+            or not contiguous):
         raise ValueError(
             "device-to-process layout does not tile the batch axis into "
-            "equal disjoint process groups; re-order mesh devices so each "
-            f"host owns a contiguous slab (got groups {groups})"
+            "equal, disjoint, contiguous process groups; re-order mesh "
+            f"devices so each host owns a contiguous slab (got groups "
+            f"{[ranks(g) for g in groups]})"
         )
-    mine = frozenset(owners[jax.process_index()])
+    mine = frozenset(owners[me])
     return (groups.index(mine), len(groups))
 
 
