@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -318,7 +319,36 @@ def main():
                         help="also run the end-to-end input-pipeline bench "
                              "(host JPEG decode -> prefetch -> train step)")
     parser.add_argument("--corpus-dir", type=str, default="/tmp/tic_bench_corpus")
+    parser.add_argument("--init-timeout", type=int, default=900,
+                        help="seconds to wait for the TPU backend before "
+                             "failing loudly (the tunneled axon client "
+                             "blocks forever when the relay is down)")
     args = parser.parse_args()
+
+    # Backend watchdog: jax's PJRT client connect has no timeout of its own;
+    # when the relay is unreachable the process would hang silently forever.
+    # Fail with a diagnosable message instead.
+    import threading
+
+    backend_up = threading.Event()
+
+    def _watchdog():
+        if not backend_up.wait(args.init_timeout):
+            print(json.dumps({
+                "metric": "error", "value": 0, "unit": "",
+                "vs_baseline": 0,
+                "error": f"TPU backend did not initialize within "
+                         f"{args.init_timeout}s (relay down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    n = len(jax.devices())
+    backend_up.set()
+    print(f"# backend up: {jax.default_backend()} x{n}", file=sys.stderr,
+          flush=True)
 
     if args.real_data:
         train_rate, host_decode, host_cached = bench_train_real(

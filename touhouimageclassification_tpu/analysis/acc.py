@@ -48,6 +48,7 @@ def run_sweep(
     result_dir: str = RESULT_DIR,
     recompute: bool = False,
     data_dir: str | None = None,
+    dp: int = 0,
 ) -> list[dict]:
     from ..infer import serve as serve_mod
 
@@ -58,7 +59,7 @@ def run_sweep(
         if recompute or not os.path.exists(out_csv):
             predictor = serve_mod.init(
                 modelt=mtype, weights=checkpoint,
-                data_dir=data_dir or serve_mod.FILTERED_DATA_DIR,
+                data_dir=data_dir or serve_mod.FILTERED_DATA_DIR, dp=dp,
             )
             serve_mod.full_judge(predictor, test_dir, out_csv)
             del predictor
@@ -75,6 +76,8 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--recompute", "-r", action="store_true")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="shard judging over this many devices")
     args = parser.parse_args()
-    for row in run_sweep(recompute=args.recompute):
+    for row in run_sweep(recompute=args.recompute, dp=args.dp):
         print(f"{row['name']}: {row['acc']:.4f}")

@@ -33,6 +33,8 @@ _PROJECT_ROOT = os.path.dirname(_RUNTIME_DIR)
 sys.path.insert(0, _PROJECT_ROOT)
 
 MODEL_TYPE = os.environ.get("TIC_WEB_MODEL_TYPE", "vit-large")
+# shard coalesced request batches over N devices (serve --dp semantics)
+WEB_DP = int(os.environ.get("TIC_WEB_DP", "0"))
 WEIGHTS_PATH = os.environ.get(
     "TIC_WEB_WEIGHTS", os.path.join(_PROJECT_ROOT, "checkpoint/serving/nvit")
 )
@@ -73,7 +75,7 @@ class ModelDaemon:
             from touhouimageclassification_tpu.infer.serve import init
 
             self.predictor = init(modelt=MODEL_TYPE, weights=WEIGHTS_PATH,
-                                  data_dir=DATA_DIR)
+                                  data_dir=DATA_DIR, dp=WEB_DP)
             print("Model daemon started successfully.")
         self._reset_timer()
 
