@@ -68,6 +68,31 @@ def test_ragged_tail_stays_lockstep(dataset):
     assert [len(p) for p in parts] == [1, 1, 1, 1]
 
 
+def test_loader_sharding_property(dataset):
+    """Randomized sweep over (subset size, batch, process count, drop_last,
+    seed): per-step shard unions always equal the single-process batch and
+    every process yields the same number of batches."""
+    import random
+
+    index = scan_image_folder(dataset)
+    rng = random.Random(0)
+    for _ in range(15):
+        n = rng.randint(1, len(index))
+        pc = rng.choice([1, 2, 4])
+        bs = rng.choice([b for b in (2, 4, 8) if b % pc == 0])
+        kw = dict(subset=np.arange(n), batch_size=bs, canvas=(16, 16),
+                  shuffle=True, seed=rng.randint(0, 99),
+                  drop_last=rng.random() < 0.5)
+        ref = list(HostImageLoader(index, process_shard=(0, 1), **kw))
+        parts = [list(HostImageLoader(index, process_shard=(p, pc), **kw))
+                 for p in range(pc)]
+        cfg_str = f"n={n} bs={bs} pc={pc} {kw['drop_last']}"
+        assert all(len(p) == len(ref) for p in parts), cfg_str
+        for i, rb in enumerate(ref):
+            got = sorted(r for p in parts for r in _rows(p[i]))
+            assert got == sorted(_rows(rb)), f"{cfg_str} batch {i}"
+
+
 def test_indivisible_global_batch_raises(dataset):
     index = scan_image_folder(dataset)
     with pytest.raises(ValueError, match="not divisible"):

@@ -298,6 +298,50 @@ def test_preemption_resume_mid_accumulation_window(dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_preemption_resume_with_scan_fused_steps(dataset, tmp_path):
+    """steps_per_call>1 (lax.scan-fused optimizer steps): the preemption
+    offset is counted in host batches and is always a multiple of k, so the
+    resumed stacked iterator regroups identically — bit-identical params."""
+    import signal
+
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+
+    class KillDuring:
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
+
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    cfg = _cfg(tmp_path, max_epochs=2, steps_per_call=2)
+    h1 = Trainer(cfg, model=model).fit(KillDuring(train, 3), val, resume=False)
+    assert h1 == []
+    t2 = Trainer(cfg, model=model)
+    h2 = t2.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h2] == [1, 2]
+
+    cfg_c = _cfg(tmp_path / "control", max_epochs=2, steps_per_call=2)
+    tc = Trainer(cfg_c, model=model)
+    tc.fit(*_loaders(dataset), resume=False)
+    assert int(t2.state.step) == int(tc.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     """A mid-epoch preemption checkpoint from an ABANDONED lineage (user
     restarted with resume=False) must be purged, not restored later — and a
