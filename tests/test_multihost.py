@@ -270,6 +270,31 @@ else:  # mode == "preempt": SIGTERM lands ONLY on process 1
 """
 
 
+_CHILD_CLI = r"""
+import os, sys
+pid, port, root, data, work = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                               sys.argv[4], sys.argv[5])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ["TIC_CHECKPOINT_DIR"] = os.path.join(work, "ckpt")
+os.environ["TIC_LOG_DIR"] = os.path.join(work, "log")
+sys.path.insert(0, root)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+# the REAL user-facing launch: the same ntrain command on every host, with
+# multi-host wired purely through the standard CLI flags
+from touhouimageclassification_tpu.train.ntrain import main
+
+main(["--preset", "nvit", "--tiny", "--no-pretrained", "--data-dir", data,
+      "--max-epochs", "1", "--batch-size", "8",
+      "--coordinator", f"localhost:{port}", "--num-processes", "2",
+      "--process-id", str(pid)])
+assert jax.process_count() == 2
+print(f"cli ok {pid}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -367,6 +392,41 @@ def _run_fit_children(tmp_path, mode, timeout=420, nprocs=2):
         assert rc == 0, f"process {pid} failed:\n{out}\n{err}"
         assert f"{mode} ok {pid}" in out
     return outs, work
+
+
+def test_two_process_ntrain_cli(tmp_path):
+    """The user-facing multi-host launch: the SAME `ntrain` command on both
+    hosts, distributed init wired purely through the --coordinator/
+    --num-processes/--process-id CLI flags (MULTIHOST.md's recipe)."""
+    from fixtures import make_image_folder
+
+    data = make_image_folder(str(tmp_path / "data"), num_classes=3,
+                             per_class=15, size=32)
+    work = str(tmp_path / "work")
+    os.makedirs(work, exist_ok=True)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_CLI, str(pid), str(port), _ROOT,
+             data, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("cli children timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {pid} failed:\n{out}\n{err}"
+        assert f"cli ok {pid}" in out
 
 
 def test_two_process_trainer_fit_and_resume(tmp_path):

@@ -31,10 +31,15 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import AugmentConfig
 
-_LUMA = jnp.array([0.299, 0.587, 0.114])
+# numpy on purpose: a module-level jnp.array would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering for
+# multi-host CLIs (it must run before ANY backend use); jit lifts this to a
+# device constant at trace time either way
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
 
 
 # ---------------------------------------------------------------------------

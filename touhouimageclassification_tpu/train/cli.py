@@ -143,6 +143,13 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--schedule", type=str, default=None,
                    choices=["constant", "warmup_linear", "step"])
+    # multi-host launch (MULTIHOST.md): run the SAME command on every host.
+    # On Cloud TPU pods jax auto-discovers the slice, so these are only
+    # needed for manual clusters; JAX_COORDINATOR_ADDRESS env works too.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator host:port for multi-host training")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -169,6 +176,12 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
 def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
         init_params=None) -> Trainer:
     """The common --transform/--test/fit flow."""
+    if getattr(args, "coordinator", None):
+        # must run before anything touches the backend (Trainer below does)
+        from ..parallel.dist import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     cfg = resolve_normalize_stats(cfg)
     trainer = Trainer(cfg, model=model, task=task, param_filter=param_filter,
                       init_params=init_params)
