@@ -266,6 +266,19 @@ else:  # mode == "preempt": SIGTERM lands ONLY on process 1
     h2 = trainer2.fit(train, val, resume=True)
     assert [r["epoch"] for r in h2] == [1, 2], h2
     assert int(trainer2.state.step) == 2 * train.steps_per_epoch()
+    if pid == 0:  # the resume was MID-epoch, not a silent epoch restart
+        import json as _json
+        with open(os.path.join(cfg.log_dir, "mh_run", "metrics.jsonl")) as f:
+            recs = [_json.loads(l) for l in f]
+        assert any(r.get("resumed_mid_epoch") == 1 for r in recs), recs
+    # third fit: the full-epoch saves now outrank the stale partial, so the
+    # cooperative multi-process purge path runs (Orbax delete from every
+    # process) — must not deadlock and must empty the partial dir
+    trainer3 = Trainer(cfg, model=ViT(tiny))
+    h3 = trainer3.fit(train, val, resume=True)
+    assert h3 == [], h3  # max_epochs already reached
+    pdir = os.path.join(cfg.checkpoint.directory, "mh_run_partial")
+    assert not any(d.isdigit() for d in os.listdir(pdir)), os.listdir(pdir)
     print(f"preempt ok {pid}", flush=True)
 """
 

@@ -237,13 +237,25 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
     # the resumed first epoch trained only the REMAINING batches
     assert h2[0]["images_per_second"] > 0
 
+    # the resume must have been MID-epoch, not a silent restart (caught a
+    # real bug: Orbax drops metrics without a best_fn, so the resume meta
+    # never persisted and restart-from-scratch passed every other assert)
+    with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    marks = [r for r in records if "resumed_mid_epoch" in r]
+    assert marks and marks[-1]["resumed_mid_epoch"] == 1
+    assert marks[-1]["start_batch"] == steps_done
+
     # control run, never preempted: same seed, same (seed, epoch)-keyed
     # data order, same step-keyed RNG -> params must match exactly
     cfg_c = _cfg(tmp_path / "control", max_epochs=3)
     os.makedirs(str(tmp_path / "control"), exist_ok=True)
     tc = Trainer(cfg_c, model=model)
-    tc.fit(*_loaders(dataset), resume=False)
+    hc = tc.fit(*_loaders(dataset), resume=False)
     assert steps_done < int(t2.state.step)
+    # distinguishing signal: the resumed epoch 1 averaged only the REMAINING
+    # batches, so its logged loss differs from the control's full epoch 1
+    assert h2[0]["train_loss"] != hc[0]["train_loss"]
     for a, b in zip(
         jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
         jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
@@ -290,7 +302,8 @@ def test_preemption_resume_mid_accumulation_window(dataset, tmp_path):
 
     cfg_c = _cfg(tmp_path / "control", max_epochs=2, optimizer=opt)
     tc = Trainer(cfg_c, model=model)
-    tc.fit(*_loaders(dataset), resume=False)
+    hc = tc.fit(*_loaders(dataset), resume=False)
+    assert h2[0]["train_loss"] != hc[0]["train_loss"]  # resumed, not restarted
     for a, b in zip(
         jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
         jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
@@ -333,7 +346,8 @@ def test_preemption_resume_with_scan_fused_steps(dataset, tmp_path):
 
     cfg_c = _cfg(tmp_path / "control", max_epochs=2, steps_per_call=2)
     tc = Trainer(cfg_c, model=model)
-    tc.fit(*_loaders(dataset), resume=False)
+    hc = tc.fit(*_loaders(dataset), resume=False)
+    assert h2[0]["train_loss"] != hc[0]["train_loss"]  # resumed, not restarted
     assert int(t2.state.step) == int(tc.state.step)
     for a, b in zip(
         jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),

@@ -430,9 +430,14 @@ class Trainer:
         import dataclasses
 
         partial_dir = ckpt.directory + "_partial"
+        # monitor MUST be set: Orbax only persists per-step metrics when the
+        # manager has a best_fn — with monitor=None the resume metadata
+        # (epoch_index/steps_done) would never reach disk and a fresh
+        # process would silently restart the epoch instead of resuming
+        # mid-epoch (caught by test_sigterm_preemption_*'s loss assert)
         partial_cfg = dataclasses.replace(
-            cfg.checkpoint, monitor=None, top_k=1, every_n_epochs=0,
-            async_save=False,
+            cfg.checkpoint, monitor="steps_done", mode="max", top_k=1,
+            every_n_epochs=0, async_save=False,
         )
         _partial_box: list[CheckpointManager] = []
 
@@ -496,6 +501,9 @@ class Trainer:
                     "checkpoint, global step %d)",
                     start_epoch + 1, resume_offset, pstep,
                 )
+                self._log_metrics({"resumed_mid_epoch": start_epoch + 1,
+                                   "start_batch": resume_offset,
+                                   "global_step": int(pstep)})
                 if resume_offset >= steps_per_epoch:
                     # preempted exactly at the epoch boundary: the epoch is
                     # complete (it just never ran val/save) — move past it
