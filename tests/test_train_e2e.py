@@ -366,9 +366,12 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     model = ViT(TINY)
     train, val = _loaders(dataset)
 
-    class KillDuring:
+    class KillAtGlobalBatch:
+        """SIGTERM after the n-th batch ACROSS epochs (so the preemption can
+        land in a later epoch than the first)."""
+
         def __init__(self, loader, n):
-            self.loader, self.n, self.fired = loader, n, False
+            self.loader, self.n, self.count = loader, n, 0
 
         def steps_per_epoch(self):
             return self.loader.steps_per_epoch()
@@ -377,15 +380,20 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
             self.loader.set_epoch(*args)
 
         def __iter__(self):
-            for i, b in enumerate(iter(self.loader)):
-                if not self.fired and i == self.n:
-                    self.fired = True
+            for b in iter(self.loader):
+                if self.count == self.n:
                     os.kill(os.getpid(), signal.SIGTERM)
+                self.count += 1
                 yield b
 
-    # run A: preempted mid-epoch 1 -> a partial checkpoint exists
+    # run A: preempted mid-epoch 2 -> stale partial with epoch_index=1,
+    # which OUTRANKS run B's single full epoch — the dangerous scenario:
+    # without the purge, run C would restore run A's abandoned weights
+    spe = train.steps_per_epoch()
     cfg = _cfg(tmp_path, max_epochs=3)
-    Trainer(cfg, model=model).fit(KillDuring(train, 2), val, resume=False)
+    ha = Trainer(cfg, model=model).fit(
+        KillAtGlobalBatch(train, spe + 2), val, resume=False)
+    assert [r["epoch"] for r in ha] == [1]  # epoch 1 completed, 2 preempted
     partial_dir = os.path.join(str(tmp_path / "ckpt"), "test_run_partial")
     assert any(d.isdigit() for d in os.listdir(partial_dir))
 
@@ -396,12 +404,18 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     assert [r["epoch"] for r in hb] == [1]
     assert not any(d.isdigit() for d in os.listdir(partial_dir))
 
-    # run C: auto-resume continues from run B's FULL epoch, not run A
+    # run C: auto-resume continues from run B's FULL epoch, not run A's
+    # stale mid-epoch-2 state (epoch_index 1 >= full 1 would have matched)
+    import json
+
     cfg_c = _cfg(tmp_path, max_epochs=2)
     tc = Trainer(cfg_c, model=model)
     hc = tc.fit(train, val, resume=True)
     assert [r["epoch"] for r in hc] == [2]
-    assert int(tc.state.step) == 2 * train.steps_per_epoch()
+    assert int(tc.state.step) == 2 * spe
+    with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert not any("resumed_mid_epoch" in r for r in records), records
 
 
 def test_loader_early_break_releases_producer(dataset):
