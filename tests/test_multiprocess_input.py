@@ -95,8 +95,29 @@ def test_loader_sharding_property(dataset):
 
 def test_indivisible_global_batch_raises(dataset):
     index = scan_image_folder(dataset)
+    # an explicitly pinned view validates eagerly
     with pytest.raises(ValueError, match="not divisible"):
         HostImageLoader(index, batch_size=7, process_shard=(0, 2))
+
+
+def test_auto_view_divisibility_is_deferred(dataset, monkeypatch):
+    """The 'auto' process_count guess must not hard-fail construction: the
+    trainer installs the mesh-derived view before iteration (a pure-EP mesh
+    needs NO split even when process_count doesn't divide the batch)."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    index = scan_image_folder(dataset)
+    loader = HostImageLoader(index, batch_size=6, canvas=(16, 16),
+                             shuffle=False)  # 6 % 4 != 0 -> deferred
+    # un-overridden iteration fails with an actionable message
+    with pytest.raises(ValueError, match="set_process_view"):
+        next(iter(loader))
+    # the trainer-style override makes it usable
+    loader.set_process_view(0, 1)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (6, 16, 16, 3)
 
 
 def test_process_input_view_and_override(dataset, mesh8):

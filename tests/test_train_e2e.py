@@ -179,6 +179,29 @@ def test_checkpoint_retention_caps_every_n(tmp_path):
     mgr.close()
 
 
+class KillAtBatch:
+    """Loader wrapper delivering SIGTERM to our own process after the n-th
+    batch counted ACROSS epochs (fires once)."""
+
+    def __init__(self, loader, n):
+        self.loader, self.n, self.count = loader, n, 0
+
+    def steps_per_epoch(self):
+        return self.loader.steps_per_epoch()
+
+    def set_epoch(self, *args):
+        self.loader.set_epoch(*args)
+
+    def __iter__(self):
+        import signal
+
+        for b in iter(self.loader):
+            if self.count == self.n:
+                os.kill(os.getpid(), signal.SIGTERM)
+            self.count += 1
+            yield b
+
+
 def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
     """TPU-VM preemption story: SIGTERM mid-epoch -> finish the in-flight
     step, save a mid-epoch checkpoint keyed by GLOBAL optimizer step, stop
@@ -193,28 +216,9 @@ def test_sigterm_preemption_checkpoints_and_resumes(dataset, tmp_path):
     model = ViT(TINY)
     train, val = _loaders(dataset)
 
-    class KillDuring:
-        """Deliver SIGTERM to our own process after `n` batches."""
-
-        def __init__(self, loader, n):
-            self.loader, self.n, self.fired = loader, n, False
-
-        def steps_per_epoch(self):
-            return self.loader.steps_per_epoch()
-
-        def set_epoch(self, *args):
-            self.loader.set_epoch(*args)
-
-        def __iter__(self):
-            for i, b in enumerate(iter(self.loader)):
-                if not self.fired and i == self.n:
-                    self.fired = True
-                    os.kill(os.getpid(), signal.SIGTERM)
-                yield b
-
     prev_handler = signal.getsignal(signal.SIGTERM)
     t1 = Trainer(cfg, model=model)
-    h1 = t1.fit(KillDuring(train, 2), val, resume=False)
+    h1 = t1.fit(KillAtBatch(train, 2), val, resume=False)
     assert h1 == []  # no epoch completed
     assert signal.getsignal(signal.SIGTERM) is prev_handler  # restored
 
@@ -274,27 +278,10 @@ def test_preemption_resume_mid_accumulation_window(dataset, tmp_path):
     opt = OptimizerConfig(name="adamw", learning_rate=3e-3, weight_decay=0.0,
                           grad_accum_steps=2)
 
-    class KillDuring:
-        def __init__(self, loader, n):
-            self.loader, self.n, self.fired = loader, n, False
-
-        def steps_per_epoch(self):
-            return self.loader.steps_per_epoch()
-
-        def set_epoch(self, *args):
-            self.loader.set_epoch(*args)
-
-        def __iter__(self):
-            for i, b in enumerate(iter(self.loader)):
-                if not self.fired and i == self.n:
-                    self.fired = True
-                    os.kill(os.getpid(), signal.SIGTERM)
-                yield b
-
     # steps_per_epoch=6, accum=2 -> kill after 3 micro-batches: the third
     # accumulation window is half-filled at the preemption point
     cfg = _cfg(tmp_path, max_epochs=2, optimizer=opt)
-    h1 = Trainer(cfg, model=model).fit(KillDuring(train, 3), val, resume=False)
+    h1 = Trainer(cfg, model=model).fit(KillAtBatch(train, 3), val, resume=False)
     assert h1 == []
     t2 = Trainer(cfg, model=model)
     h2 = t2.fit(train, val, resume=True)
@@ -320,25 +307,8 @@ def test_preemption_resume_with_scan_fused_steps(dataset, tmp_path):
     model = ViT(TINY)
     train, val = _loaders(dataset)
 
-    class KillDuring:
-        def __init__(self, loader, n):
-            self.loader, self.n, self.fired = loader, n, False
-
-        def steps_per_epoch(self):
-            return self.loader.steps_per_epoch()
-
-        def set_epoch(self, *args):
-            self.loader.set_epoch(*args)
-
-        def __iter__(self):
-            for i, b in enumerate(iter(self.loader)):
-                if not self.fired and i == self.n:
-                    self.fired = True
-                    os.kill(os.getpid(), signal.SIGTERM)
-                yield b
-
     cfg = _cfg(tmp_path, max_epochs=2, steps_per_call=2)
-    h1 = Trainer(cfg, model=model).fit(KillDuring(train, 3), val, resume=False)
+    h1 = Trainer(cfg, model=model).fit(KillAtBatch(train, 3), val, resume=False)
     assert h1 == []
     t2 = Trainer(cfg, model=model)
     h2 = t2.fit(train, val, resume=True)
@@ -366,33 +336,13 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     model = ViT(TINY)
     train, val = _loaders(dataset)
 
-    class KillAtGlobalBatch:
-        """SIGTERM after the n-th batch ACROSS epochs (so the preemption can
-        land in a later epoch than the first)."""
-
-        def __init__(self, loader, n):
-            self.loader, self.n, self.count = loader, n, 0
-
-        def steps_per_epoch(self):
-            return self.loader.steps_per_epoch()
-
-        def set_epoch(self, *args):
-            self.loader.set_epoch(*args)
-
-        def __iter__(self):
-            for b in iter(self.loader):
-                if self.count == self.n:
-                    os.kill(os.getpid(), signal.SIGTERM)
-                self.count += 1
-                yield b
-
     # run A: preempted mid-epoch 2 -> stale partial with epoch_index=1,
     # which OUTRANKS run B's single full epoch — the dangerous scenario:
     # without the purge, run C would restore run A's abandoned weights
     spe = train.steps_per_epoch()
     cfg = _cfg(tmp_path, max_epochs=3)
     ha = Trainer(cfg, model=model).fit(
-        KillAtGlobalBatch(train, spe + 2), val, resume=False)
+        KillAtBatch(train, spe + 2), val, resume=False)
     assert [r["epoch"] for r in ha] == [1]  # epoch 1 completed, 2 preempted
     partial_dir = os.path.join(str(tmp_path / "ckpt"), "test_run_partial")
     assert any(d.isdigit() for d in os.listdir(partial_dir))
@@ -416,6 +366,35 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
         records = [json.loads(line) for line in f]
     assert not any("resumed_mid_epoch" in r for r in records), records
+
+
+def test_orphan_partial_from_deleted_lineage_is_ignored(dataset, tmp_path):
+    """If the user deletes the run's checkpoint dir to start over (unaware of
+    the `<run>_partial` sibling), a later-epoch orphan partial must NOT be
+    restored by the next resume=True run — it is purged and training starts
+    from scratch."""
+    import json
+    import shutil
+
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+    spe = train.steps_per_epoch()
+
+    cfg = _cfg(tmp_path, max_epochs=3)
+    Trainer(cfg, model=model).fit(KillAtBatch(train, spe + 2), val,
+                                  resume=False)
+    partial_dir = os.path.join(str(tmp_path / "ckpt"), "test_run_partial")
+    assert any(d.isdigit() for d in os.listdir(partial_dir))
+    shutil.rmtree(os.path.join(str(tmp_path / "ckpt"), "test_run"))
+
+    t = Trainer(cfg, model=model)
+    h = t.fit(train, val, resume=True)
+    assert [r["epoch"] for r in h] == [1, 2, 3]  # from scratch
+    assert int(t.state.step) == 3 * spe
+    assert not any(d.isdigit() for d in os.listdir(partial_dir))  # purged
+    with open(os.path.join(cfg.log_dir, "test_run", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert not any("resumed_mid_epoch" in r for r in records)
 
 
 def test_loader_early_break_releases_producer(dataset):

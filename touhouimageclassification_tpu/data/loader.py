@@ -91,11 +91,18 @@ class HostImageLoader:
                 self._pid = jax.process_index()
                 self._pcount = jax.process_count()
         if batch_size % self._pcount:
-            raise ValueError(
-                f"global batch {batch_size} not divisible by "
-                f"{self._pcount} processes"
-            )
-        self._local_batch = batch_size // self._pcount
+            if self._pinned_view:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{self._pcount} processes"
+                )
+            # the 'auto' guess may be overridden by the trainer's
+            # mesh-derived view before iteration (e.g. a pure-EP mesh needs
+            # NO split even though process_count doesn't divide the batch):
+            # defer the error to iteration time
+            self._local_batch = None
+        else:
+            self._local_batch = batch_size // self._pcount
         self.num_threads = num_threads or min(16, (os.cpu_count() or 8))
         self.prefetch_batches = prefetch_batches
         self.loop = loop
@@ -221,6 +228,13 @@ class HostImageLoader:
         return {"image": image, "label": label, "mask": mask}
 
     def _iter_epoch(self, pool: ThreadPoolExecutor) -> Iterator[dict]:
+        if self._local_batch is None:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by the "
+                f"{self._pcount}-process auto input split; set an explicit "
+                f"view with set_process_view() (the Trainer does this from "
+                f"the mesh) or choose a divisible batch size"
+            )
         order = self._epoch_order()
         self._epoch += 1
         skip = self._start_batch

@@ -176,12 +176,16 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
 def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
         init_params=None) -> Trainer:
     """The common --transform/--test/fit flow."""
-    if getattr(args, "coordinator", None):
-        # must run before anything touches the backend (Trainer below does)
-        from ..parallel.dist import initialize_distributed
+    # unconditional: initialize_distributed self-gates on its args OR the
+    # JAX_COORDINATOR_ADDRESS env var (gating here on --coordinator alone
+    # would silently run N independent single-process trainings when the
+    # user launches via the env var). Must run before anything touches the
+    # backend (Trainer below does).
+    from ..parallel.dist import initialize_distributed
 
-        initialize_distributed(args.coordinator, args.num_processes,
-                               args.process_id)
+    initialize_distributed(getattr(args, "coordinator", None),
+                           getattr(args, "num_processes", None),
+                           getattr(args, "process_id", None))
     cfg = resolve_normalize_stats(cfg)
     trainer = Trainer(cfg, model=model, task=task, param_filter=param_filter,
                       init_params=init_params)

@@ -23,14 +23,18 @@ fp16-AMP loops of ``TIC/ViT/finetune.py:93-268`` / ``pretrain.py`` /
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
+import signal
+import threading
 import time
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -39,7 +43,10 @@ from ..data.loader import device_put_iterator
 from ..models import apply_model, create_model
 from ..ops.augment import build_augment_fn, build_eval_fn
 from ..ops.mixup import cutmix_or_mixup
-from ..parallel.mesh import create_mesh, data_sharding, replicated
+from ..parallel.mesh import (
+    create_mesh, data_sharding, make_global_array, process_input_view,
+    put_global, replicated,
+)
 from ..parallel.sharding import shard_state
 from ..utils.jaxcache import enable_compile_cache
 from ..utils.logging import get_logger
@@ -128,7 +135,6 @@ class Trainer:
         # which slice of each global batch THIS process must load — derived
         # from actual device ownership, not process_count (a pure-EP mesh
         # replicates the batch across hosts: every host loads all of it)
-        from ..parallel.mesh import process_input_view
 
         self._input_view = process_input_view(self._batch_sharding)
         self.tx: optax.GradientTransformation | None = None
@@ -172,7 +178,6 @@ class Trainer:
         if opt_cfg.schedule == "warmup_linear" and opt_cfg.total_steps <= 0:
             # wire the decay horizon when the caller didn't: without it the
             # LR would collapse to 0 one step after warmup
-            import dataclasses
 
             opt_cfg = dataclasses.replace(
                 opt_cfg,
@@ -351,7 +356,6 @@ class Trainer:
             return self._preempted
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import make_global_array
 
         agree = getattr(self, "_agree_fn", None)
         if agree is None:
@@ -362,7 +366,6 @@ class Trainer:
                 1 for d in self.mesh.devices.flat
                 if d.process_index == jax.process_index()
             )
-            import numpy as np
 
             def agree(flag: bool) -> bool:
                 local = np.full((n_local,), flag)
@@ -374,10 +377,8 @@ class Trainer:
     def _stacked_iterator(self, loader, k: int):
         """Group k host batches, stack on a new leading axis, and place them
         with the per-step batch dim sharded over 'data'."""
-        import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import put_global
 
         sharding = NamedSharding(self.mesh, P(None, self.cfg.mesh.data_axis))
         group: list[dict] = []
@@ -427,7 +428,6 @@ class Trainer:
         # collides with a re-run of the same epoch); only the newest is
         # retained. The manager is built lazily so non-preempted runs never
         # create the directory.
-        import dataclasses
 
         partial_dir = ckpt.directory + "_partial"
         # monitor MUST be set: Orbax only persists per-step metrics when the
@@ -489,7 +489,16 @@ class Trainer:
                 pstep = partial_mgr().latest_epoch()
                 meta = partial_mgr().metrics(pstep) if pstep is not None else None
             p_epoch = int(meta.get("epoch_index", -1)) if meta else -1
-            if meta is not None and p_epoch >= (full_epoch or 0):
+            # a partial is live only if it is at/after the full-epoch resume
+            # point OF THIS LINEAGE. With no full save at all, accept only an
+            # epoch-0 partial: a later-epoch partial whose full saves are
+            # gone means the user deleted the run dir to start over — the
+            # orphan must not resurrect (and gets purged below).
+            partial_live = meta is not None and (
+                p_epoch >= full_epoch if full_epoch is not None
+                else p_epoch == 0
+            )
+            if partial_live:
                 self.state = shard_state(
                     partial_mgr().restore(self.state), self.mesh,
                     cfg.mesh.expert_axis,
@@ -504,11 +513,10 @@ class Trainer:
                 self._log_metrics({"resumed_mid_epoch": start_epoch + 1,
                                    "start_batch": resume_offset,
                                    "global_step": int(pstep)})
-                if resume_offset >= steps_per_epoch:
-                    # preempted exactly at the epoch boundary: the epoch is
-                    # complete (it just never ran val/save) — move past it
-                    start_epoch += 1
-                    resume_offset = 0
+                # resume_offset == steps_per_epoch (preempted during the
+                # epoch's very last step) is handled by the epoch loop: it
+                # yields zero batches and still runs val + the FULL save the
+                # preempted run never got to write
             elif full_epoch is not None:
                 self.state = shard_state(
                     ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
@@ -517,6 +525,8 @@ class Trainer:
                 self.logger.info("Resumed from epoch %d", start_epoch)
                 if meta is not None:
                     purge_partial()  # older than the full save: stale
+            elif meta is not None:
+                purge_partial()  # orphan from a deleted lineage
         else:
             purge_partial()  # resume=False: fresh lineage
 
@@ -531,8 +541,6 @@ class Trainer:
         # Preemption safety: TPU VMs receive SIGTERM on maintenance events /
         # spot reclaim. Checkpoint at the next step boundary and stop
         # cleanly; the filesystem auto-resume above picks the run back up.
-        import signal
-        import threading
 
         self._preempted = False
         prev_sigterm = None
@@ -554,6 +562,11 @@ class Trainer:
             for epoch in range(start_epoch, cfg.max_epochs):
                 t0 = time.time()
                 running, nsteps = 0.0, 0
+                # consumed counts LOADER batches trained this run (profiling
+                # re-trains one batch profile_steps times, inflating nsteps
+                # but not consumed — the resume offset must track data, not
+                # optimizer steps, or resume would skip never-trained data)
+                consumed = 0
                 epoch_offset = resume_offset if epoch == start_epoch else 0
                 if hasattr(train_loader, "set_epoch"):
                     # reproducible (seed, epoch)-keyed shuffle across
@@ -590,10 +603,12 @@ class Trainer:
                                 running += float(metrics["loss"]) * k
                                 nsteps += k
                         profiled = True
+                        consumed += k
                         continue
                     self.state, metrics = train_step(self.state, batch)
                     running += float(metrics["loss"]) * k
                     nsteps += k
+                    consumed += k
                 dt = time.time() - t0
                 train_loss = running / max(nsteps, 1)
                 # ONE post-loop agreement per epoch: a SIGTERM that lands
@@ -605,7 +620,7 @@ class Trainer:
                 # loop ended, so the collectives stay matched.
                 if self._agree_preempted():
                     self._preempted = True
-                    done = epoch_offset + nsteps
+                    done = epoch_offset + consumed
                     if nsteps:
                         gstep = int(jax.device_get(self.state.step))
                         partial_mgr().save(
@@ -645,8 +660,16 @@ class Trainer:
                 }
                 if cfg.checkpoint.monitor not in metrics_for_ckpt:
                     # no val loader: substitute train loss, sign-adjusted so the
-                    # manager's best-mode ordering still prefers lower loss
-                    fallback = -train_loss if cfg.checkpoint.mode == "max" else train_loss
+                    # manager's best-mode ordering still prefers lower loss.
+                    # A boundary-resume epoch trained zero steps here (it only
+                    # exists to write the full save the preempted run missed)
+                    # — rank it never-best, not as a fake loss of 0.0
+                    if nsteps:
+                        fallback = (-train_loss if cfg.checkpoint.mode == "max"
+                                    else train_loss)
+                    else:
+                        fallback = (-math.inf if cfg.checkpoint.mode == "max"
+                                    else math.inf)
                     metrics_for_ckpt[cfg.checkpoint.monitor] = fallback
                 ckpt.save(epoch + 1, self._saveable_state(), metrics_for_ckpt)
 
