@@ -368,6 +368,61 @@ def test_stale_partial_checkpoints_do_not_resurrect(dataset, tmp_path):
     assert not any("resumed_mid_epoch" in r for r in records), records
 
 
+def test_boundary_preemption_still_writes_the_full_save(dataset, tmp_path):
+    """Preemption during an epoch's very LAST step leaves a partial with
+    steps_done == steps_per_epoch and no full save. Resume must not skip
+    past the epoch (losing its full checkpoint forever): the resumed epoch
+    yields zero batches but still runs val and writes the full save, then
+    training continues bit-identically."""
+    import dataclasses as dc
+
+    from touhouimageclassification_tpu.train.checkpoint import CheckpointManager
+
+    model = ViT(TINY)
+    train, val = _loaders(dataset)
+    spe = train.steps_per_epoch()
+
+    # craft the exact on-disk state such a death leaves: end-of-epoch-1
+    # weights in the partial dir, nothing in the full dir
+    cfg = _cfg(tmp_path, max_epochs=1)
+    t1 = Trainer(cfg, model=model)
+    t1.fit(train, val, resume=False)
+    end_of_epoch1 = jax.device_get(t1.state)
+    partial_cfg = dc.replace(cfg.checkpoint, monitor="steps_done",
+                             mode="max", top_k=1, every_n_epochs=0)
+    pdir = os.path.join(str(tmp_path / "ckpt"), "test_run_partial")
+    pmgr = CheckpointManager(partial_cfg, "test_run", directory=pdir)
+    pmgr.save(spe, end_of_epoch1,
+              {"epoch_index": 0.0, "steps_done": float(spe)})
+    pmgr.wait()
+    pmgr.close()
+    import shutil
+
+    shutil.rmtree(os.path.join(str(tmp_path / "ckpt"), "test_run"))
+
+    cfg2 = _cfg(tmp_path, max_epochs=2)
+    t2 = Trainer(cfg2, model=model)
+    h2 = t2.fit(train, val, resume=True)
+    # epoch 1 = the boundary completion (zero train steps, val + full save)
+    assert [r["epoch"] for r in h2] == [1, 2]
+    assert h2[0]["images_per_second"] == 0.0
+    assert "val_acc" in h2[0]
+    mgr = CheckpointManager(cfg2.checkpoint, "test_run")
+    assert set(mgr._mgr.all_steps()) == {1, 2}  # the lost save was written
+    mgr.close()
+    assert int(t2.state.step) == 2 * spe
+
+    # bit-identical to a never-interrupted 2-epoch control
+    cfg_c = _cfg(tmp_path / "control", max_epochs=2)
+    tc = Trainer(cfg_c, model=model)
+    tc.fit(*_loaders(dataset), resume=False)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tc.state.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_orphan_partial_from_deleted_lineage_is_ignored(dataset, tmp_path):
     """If the user deletes the run's checkpoint dir to start over (unaware of
     the `<run>_partial` sibling), a later-epoch orphan partial must NOT be
