@@ -41,6 +41,39 @@ def decode_image(path: str, canvas: tuple[int, int]) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def decode_batch_into(paths: list[str], canvas: tuple[int, int],
+                      out: np.ndarray, native=None, nthreads: int = 16,
+                      pool: ThreadPoolExecutor | None = None) -> None:
+    """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3).
+
+    All-JPEG batches go through the native C++ decoder in one call
+    (``native/``, ~4x the PIL rate on this host) when it is built; anything
+    else (or native failures) falls back to threaded PIL. Shared by the
+    training loader and the serving ``full_judge`` path.
+    """
+    if native is None:
+        from . import native_loader
+
+        native = native_loader if native_loader.available() else False
+    jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+    if native and jpeg_only:
+        # one C call decodes the whole batch in a native thread pool
+        _, failures = native.decode_batch(paths, canvas, out=out,
+                                          nthreads=nthreads)
+        if failures:
+            # fall back per-file for the zeroed slots
+            for j, p in enumerate(paths):
+                if not out[j].any():
+                    out[j] = decode_image(p, canvas)
+    elif pool is not None:
+        imgs = list(pool.map(lambda p: decode_image(p, canvas), paths))
+        out[:] = np.stack(imgs)
+    else:
+        with ThreadPoolExecutor(max_workers=nthreads) as tmp:
+            imgs = list(tmp.map(lambda p: decode_image(p, canvas), paths))
+        out[:] = np.stack(imgs)
+
+
 class HostImageLoader:
     """Iterable over uint8 batches from an :class:`ImageFolderIndex` subset.
 
@@ -185,20 +218,12 @@ class HostImageLoader:
     def _decode_into(self, paths: list[str], out: np.ndarray,
                      pool: ThreadPoolExecutor) -> None:
         """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3)."""
-        jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
-        if self._native is not None and jpeg_only:
-            # one C call decodes the whole batch in a native thread pool
-            _, failures = self._native.decode_batch(
-                paths, self.canvas, out=out, nthreads=self.num_threads
-            )
-            if failures:
-                # fall back per-file for the zeroed slots
-                for j, p in enumerate(paths):
-                    if not out[j].any():
-                        out[j] = decode_image(p, self.canvas)
-        else:
-            imgs = list(pool.map(lambda p: decode_image(p, self.canvas), paths))
-            out[:] = np.stack(imgs)
+        # False (not None) when the native path is unavailable or the
+        # backend was explicitly 'pil' — None would make the shared helper
+        # re-probe and override the explicit choice
+        decode_batch_into(paths, self.canvas, out,
+                          native=self._native if self._native else False,
+                          nthreads=self.num_threads, pool=pool)
 
     def _make_batch(self, ids: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         n = len(ids)
