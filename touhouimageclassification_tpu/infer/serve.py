@@ -140,9 +140,8 @@ class Predictor:
             self._replicated = replicated(self.mesh)
             self._batch_sharding = data_sharding(self.mesh)
             self._params = jax.device_put(self.params, self._replicated)
-            self._model_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._replicated), self.model_state
-            )
+            self._model_state = jax.device_put(self.model_state,
+                                               self._replicated)
         else:
             self._params = jax.device_put(self.params)
             self._model_state = jax.device_put(self.model_state)

@@ -135,7 +135,6 @@ class Trainer:
         # which slice of each global batch THIS process must load — derived
         # from actual device ownership, not process_count (a pure-EP mesh
         # replicates the batch across hosts: every host loads all of it)
-
         self._input_view = process_input_view(self._batch_sharding)
         self.tx: optax.GradientTransformation | None = None
         self.state: TrainState | None = None
@@ -178,7 +177,6 @@ class Trainer:
         if opt_cfg.schedule == "warmup_linear" and opt_cfg.total_steps <= 0:
             # wire the decay horizon when the caller didn't: without it the
             # LR would collapse to 0 one step after warmup
-
             opt_cfg = dataclasses.replace(
                 opt_cfg,
                 total_steps=max(
@@ -356,7 +354,6 @@ class Trainer:
             return self._preempted
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-
         agree = getattr(self, "_agree_fn", None)
         if agree is None:
             sharded = NamedSharding(self.mesh, P(self.mesh.axis_names))
@@ -378,7 +375,6 @@ class Trainer:
         """Group k host batches, stack on a new leading axis, and place them
         with the per-step batch dim sharded over 'data'."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-
 
         sharding = NamedSharding(self.mesh, P(None, self.cfg.mesh.data_axis))
         group: list[dict] = []
