@@ -1,4 +1,5 @@
 """Native JPEG decode+resize: parity with the PIL path and batch API."""
+import glob
 import os
 
 import numpy as np
@@ -183,7 +184,8 @@ def test_per_pid_dirty_markers(tmp_path):
     index = scan_image_folder(root, persist_class_map=False)
     c1 = CanvasCache(index, (32, 32))
     c1.store(np.arange(len(index)), np.full((len(index), 32, 32, 3), 7, np.uint8))
-    assert os.path.exists(f"{c1._dirty_path}.{os.getpid()}")
+    assert os.path.exists(c1._own_dirty_path)
+    assert c1._own_dirty_path.startswith(f"{c1._dirty_path}.{os.getpid()}.")
 
     # dead foreign writer alongside our live marker
     stale = f"{c1._dirty_path}.999999999"
@@ -192,7 +194,7 @@ def test_per_pid_dirty_markers(tmp_path):
     c2 = CanvasCache(index, (32, 32))
     assert c2.hit_rate() == 0.0          # reset triggered
     assert not os.path.exists(stale)     # stale marker consumed
-    assert os.path.exists(f"{c1._dirty_path}.{os.getpid()}")  # ours survives
+    assert os.path.exists(c1._own_dirty_path)  # ours survives
 
     # clean exit removes only OUR marker
     c2._mark_clean()
@@ -202,6 +204,47 @@ def test_per_pid_dirty_markers(tmp_path):
     c2._mark_dirty()
     c2._mark_clean()
     assert os.path.exists(foreign)
+
+
+def test_collected_cache_drops_its_marker(tmp_path):
+    """A cache garbage-collected before process exit must remove its dirty
+    marker — otherwise the NEXT process misreads the clean run as a crash
+    and refills from scratch (bug found driving full_judge twice on the
+    chip: the second CLI run reported '0% warm')."""
+    import gc
+
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    c1.store(np.arange(len(index)), np.full((len(index), 32, 32, 3), 7, np.uint8))
+    marker, dirty_prefix = c1._own_dirty_path, c1._dirty_path
+    del c1
+    gc.collect()
+    assert not os.path.exists(marker)
+    assert not glob.glob(dirty_prefix + ".*"), "no marker may survive GC"
+    # a 'foreign' reader (our own pid is skipped, so fake a dead one on any
+    # leftover) sees a clean cache: hits survive
+    c2 = CanvasCache(index, (32, 32))
+    assert c2.hit_rate() == 1.0
+
+
+def test_flush_then_store_remarks_dirty(tmp_path):
+    """flush() drops the marker while the cache stays alive; the next
+    store() must re-mark dirty BEFORE writing so a crash mid-write is
+    detectable."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    ids = np.arange(len(index))
+    c1.store(ids[:2], np.full((2, 32, 32, 3), 7, np.uint8))
+    c1.flush()
+    assert not glob.glob(c1._dirty_path + ".*")
+    c1.store(ids[2:4], np.full((2, 32, 32, 3), 9, np.uint8))
+    assert os.path.exists(c1._own_dirty_path)
 
 
 def test_free_space_guard_applies_to_stale_rebuild(tmp_path, monkeypatch):

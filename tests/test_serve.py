@@ -120,6 +120,42 @@ def test_full_judge_csv_schema_and_filter(predictor, dataset, tmp_path):
     assert copied == cnt
 
 
+def test_full_judge_canvas_cache(predictor, tmp_path_factory, tmp_path, monkeypatch):
+    """canvas_cache='on' builds the dataset's decoded-canvas memmap during
+    the judge; a second 'auto' judge hits it for every image (zero decodes)
+    and reproduces the same predictions."""
+    import touhouimageclassification_tpu.data.loader as L
+
+    root = tmp_path_factory.mktemp("judge_cache_data")
+    data = make_image_folder(str(root), num_classes=N_CLASSES, per_class=5, size=32)
+
+    csv_on = tmp_path / "on.csv"
+    acc_on = full_judge(predictor, data, str(csv_on), batch_size=8,
+                        progress=False, canvas_cache="on")
+    assert os.path.isdir(os.path.join(data, ".tic_canvas_cache"))
+
+    decodes = []
+    real = L.decode_batch_into
+    monkeypatch.setattr(L, "decode_batch_into",
+                        lambda *a, **k: decodes.append(a) or real(*a, **k))
+    csv_auto = tmp_path / "auto.csv"
+    acc_auto = full_judge(predictor, data, str(csv_auto), batch_size=8,
+                          progress=False, canvas_cache="auto")
+    assert not decodes, "warm canvas cache must skip every decode"
+    assert acc_auto == acc_on
+    assert csv_auto.read_text() == csv_on.read_text()
+
+
+def test_full_judge_auto_without_cache_never_allocates(predictor, dataset,
+                                                       tmp_path):
+    """'auto' on a dataset with no existing cache judges plainly — no
+    surprise multi-GB memmap allocation from a read-only scoring pass."""
+    acc = full_judge(predictor, dataset, str(tmp_path / "j.csv"), batch_size=8,
+                     progress=False, canvas_cache="auto")
+    assert 0.0 <= acc <= 1.0
+    assert not os.path.isdir(os.path.join(dataset, ".tic_canvas_cache"))
+
+
 def test_serving_meta_roundtrip(dataset, tmp_path):
     """export_for_serving writes the training-time normalization stats and
     serve.init picks them up instead of dataset statistics."""

@@ -49,6 +49,7 @@ def run_sweep(
     recompute: bool = False,
     data_dir: str | None = None,
     dp: int = 0,
+    canvas_cache: str = "auto",
 ) -> list[dict]:
     from ..infer import serve as serve_mod
 
@@ -61,7 +62,10 @@ def run_sweep(
                 modelt=mtype, weights=checkpoint,
                 data_dir=data_dir or serve_mod.FILTERED_DATA_DIR, dp=dp,
             )
-            serve_mod.full_judge(predictor, test_dir, out_csv)
+            # one test set scored 11x: with canvas_cache='on' the first
+            # model's judge pays decode, the other ten stream the memmap
+            serve_mod.full_judge(predictor, test_dir, out_csv,
+                                 canvas_cache=canvas_cache)
             del predictor
     rows = [get_acc(name, result_dir) for name, _, _ in models]
     with open(os.path.join(result_dir, "acc.csv"), "w", newline="") as f:
@@ -78,6 +82,11 @@ if __name__ == "__main__":
     parser.add_argument("--recompute", "-r", action="store_true")
     parser.add_argument("--dp", type=int, default=0,
                         help="shard judging over this many devices")
+    parser.add_argument("--canvas-cache", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="reuse (auto) or build (on) the test set's "
+                             "decoded-canvas cache across the sweep")
     args = parser.parse_args()
-    for row in run_sweep(recompute=args.recompute, dp=args.dp):
+    for row in run_sweep(recompute=args.recompute, dp=args.dp,
+                         canvas_cache=args.canvas_cache):
         print(f"{row['name']}: {row['acc']:.4f}")

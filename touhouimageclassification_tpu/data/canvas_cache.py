@@ -58,6 +58,7 @@ DECODER_VERSION = "islow-fancy-1"
 # alive for the process lifetime.
 _LIVE_CACHES: "weakref.WeakSet[CanvasCache]" = weakref.WeakSet()
 _ATEXIT_INSTALLED = False
+_MARKER_SEQ = 0  # instance-unique marker suffix within one process
 
 
 def _clean_live_caches() -> None:
@@ -71,6 +72,17 @@ def _register_cache(cache: "CanvasCache") -> None:
     if not _ATEXIT_INSTALLED:
         atexit.register(_clean_live_caches)
         _ATEXIT_INSTALLED = True
+
+
+def _finalize_clean(data: np.memmap, done: np.memmap, marker: str) -> None:
+    """Flush + remove THIS instance's marker. Module-level (not a bound
+    method) so the ``weakref.finalize`` below never pins the cache alive."""
+    try:
+        data.flush()
+        done.flush()
+        os.remove(marker)
+    except (OSError, ValueError):
+        pass
 
 
 class CanvasCache:
@@ -144,13 +156,14 @@ class CanvasCache:
     def _crashed_dirty(self) -> bool:
         """True if ANY past writer of this cache died mid-fill.
 
-        Markers are per-process files (``<tag>.dirty.<pid>``) so concurrent
-        writers never clobber each other's marker, and one writer's clean
-        exit cannot erase another's in-progress marker (the multi-process
-        holes of the original single-file protocol). Stale markers from dead
-        writers are consumed (removed) here, after which the caller refills
-        the done-map from scratch. A legacy single-file ``<tag>.dirty``
-        (pid in content) from an older cache version is honored the same way.
+        Markers are per-instance files (``<tag>.dirty.<pid>.<seq>``) so
+        concurrent writers never clobber each other's marker, and one
+        writer's clean exit cannot erase another's in-progress marker (the
+        multi-process holes of the original single-file protocol). Stale
+        markers from dead writers are consumed (removed) here, after which
+        the caller refills the done-map from scratch. Markers from older
+        versions — ``<tag>.dirty.<pid>`` and the single-file ``<tag>.dirty``
+        (pid in content) — are honored the same way.
         """
         crashed = False
         pattern = glob.glob(self._dirty_path + ".*") + (
@@ -160,7 +173,7 @@ class CanvasCache:
             suffix = path[len(self._dirty_path):]
             if suffix.startswith("."):
                 try:
-                    pid = int(suffix[1:])
+                    pid = int(suffix[1:].split(".")[0])
                 except ValueError:
                     crashed = True
                     self._remove_quiet(path)
@@ -192,21 +205,43 @@ class CanvasCache:
             pass
 
     def _mark_dirty(self) -> None:
-        self._own_dirty_path = f"{self._dirty_path}.{os.getpid()}"
+        global _MARKER_SEQ
+        _MARKER_SEQ += 1
+        # pid first (what _crashed_dirty liveness-checks), then a per-
+        # instance sequence so two caches in ONE process never share a
+        # marker (the first to clean up must not unmark the second)
+        self._own_dirty_path = f"{self._dirty_path}.{os.getpid()}.{_MARKER_SEQ}"
         with open(self._own_dirty_path, "w") as f:
             f.write("")
         _register_cache(self)
+        # also clean on garbage collection: a cache whose last reference
+        # dies before process exit (e.g. full_judge's local) silently
+        # leaves the WeakSet — without this finalizer its marker would
+        # survive the clean run and make the NEXT process treat the cache
+        # as crash-dirty and refill it from scratch
+        self._finalizer = weakref.finalize(
+            self, _finalize_clean, self.data, self.done, self._own_dirty_path)
 
     def _mark_clean(self) -> None:
         # flush canvases BEFORE removing the dirty marker so the marker's
         # absence really does imply the data pages are durable; only THIS
-        # process's marker is removed — other live writers stay dirty
+        # instance's marker is removed — other live writers stay dirty
         try:
             self.data.flush()
             self.done.flush()
             self._remove_quiet(self._own_dirty_path)
         except (OSError, ValueError):
             pass
+
+    def flush(self) -> None:
+        """Durably flush canvases and drop this instance's dirty marker.
+
+        Call when a fill pass completes successfully; until the next
+        ``store`` (which re-marks dirty) the cache reads as clean to other
+        processes even while this one stays alive. The GC/exit finalizer
+        covers callers that never reach a clean point."""
+        self._mark_clean()
+        self._clean = True
 
     def hit_rate(self) -> float:
         return float(np.mean(self.done != 0))
@@ -222,5 +257,11 @@ class CanvasCache:
     def store(self, ids: np.ndarray, images: np.ndarray) -> None:
         if len(ids) == 0:
             return
+        if getattr(self, "_clean", False):
+            # dirty marker BEFORE the first write after a flush(), so a
+            # crash mid-write is always detectable
+            self._clean = False
+            self._finalizer.detach()
+            self._mark_dirty()
         self.data[ids] = images
         self.done[ids] = 1

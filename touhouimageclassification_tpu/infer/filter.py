@@ -85,6 +85,10 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=0,
                         help="shard judge batches over this many devices "
                              "(0/1 = single device)")
+    parser.add_argument("--canvas-cache", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="reuse (auto) or build (on) the dataset's "
+                             "decoded-canvas cache for the judge pass")
     args = parser.parse_args(argv)
 
     if args.model is None:
@@ -98,7 +102,8 @@ def main(argv=None):
     judge_csv = args.csv_file or "filter_temp.csv"
     predictor = serve_mod.init(modelt=args.model, weights=args.weights,
                                data_dir=args.image, dp=args.dp)
-    serve_mod.full_judge(predictor, args.image, judge_csv)
+    serve_mod.full_judge(predictor, args.image, judge_csv,
+                         canvas_cache=args.canvas_cache)
     try:
         filter(judge_csv, args.output_directory)
     finally:

@@ -279,21 +279,95 @@ def init(
     )
 
 
+def _judge_canvas_cache(image_dir: str, image_size: tuple[int, int],
+                        mode: str):
+    """Resolve a decoded-canvas cache for judging ``image_dir``.
+
+    ``mode``: ``'off'`` never; ``'auto'`` reuse a VALID existing cache (the
+    one a training run with ``TrainConfig.canvas_cache`` left behind) but
+    never allocate a fresh multi-GB memmap just for a judge pass; ``'on'``
+    create/fill one (at the trainer's default 256x256 canvas) so repeated
+    judge/filter/acc sweeps over the same dataset pay JPEG decode once.
+
+    Returns ``(cache, slot_of_path, canvas)`` or ``(None, None, image_size)``
+    when no cache applies (non-ImageFolder trees, stale caches in auto mode).
+    """
+    if mode == "off":
+        return None, None, image_size
+    from ..data.folder import scan_image_folder
+
+    try:
+        index = scan_image_folder(image_dir, persist_class_map=False)
+    except (FileNotFoundError, NotADirectoryError):
+        return None, None, image_size
+    from ..data.canvas_cache import DECODER_VERSION, CanvasCache, _fingerprint
+
+    cache_root = os.path.join(image_dir, ".tic_canvas_cache")
+    canvas = None
+    if os.path.isdir(cache_root):
+        import glob
+        import json
+
+        fp = _fingerprint(index)
+        for meta_path in sorted(glob.glob(os.path.join(cache_root, "*.json"))):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if (meta.get("fingerprint") == fp and meta.get("n") == len(index)
+                    and meta.get("decoder") == DECODER_VERSION
+                    and os.path.exists(meta_path[:-5] + ".data")):
+                canvas = tuple(meta["canvas"])
+                break
+    if canvas is None:
+        if mode != "on":
+            return None, None, image_size
+        # trainer-default canvas so a later training run hits this cache too
+        canvas = (max(256, image_size[0]), max(256, image_size[1]))
+    cache = CanvasCache(index, canvas)
+    slot_of_path = {p: i for i, p in enumerate(index.paths)}
+    return cache, slot_of_path, canvas
+
+
 def full_judge(
     predictor: Predictor,
     image_dir: str,
     output: str | None = None,
     batch_size: int = 64,
     progress: bool = True,
+    canvas_cache: str | bool = "auto",
 ) -> float:
     """Directory walk -> batched scoring -> CSV + accuracy
-    (``serve.py:158-230``; same CSV schema, batched instead of batch-1)."""
+    (``serve.py:158-230``; same CSV schema, batched instead of batch-1).
+
+    TPU-native throughput differences from the reference loop:
+    - host prep of batch i+1 overlaps the device predict of batch i (the
+      reference decodes and infers strictly serially, ``serve.py:212-213``);
+    - with ``canvas_cache`` (default ``'auto'``) a training run's decoded-
+      canvas memmap feeds the judge directly — repeat judge/filter/acc
+      sweeps over a just-trained dataset skip JPEG decode entirely (the
+      jitted predict graph resizes canvas->model size on device, the same
+      path the trainer's eval uses). ``'on'`` builds the cache if absent;
+      ``'off'`` always decodes at model size.
+    """
     entries: list[tuple[str, str, str]] = []  # (filename, label, path)
     for root, _dirs, files in os.walk(image_dir):
         for filename in sorted(files):
             if os.path.splitext(filename)[1].lower() in IMG_EXTENSIONS:
                 entries.append((filename, os.path.basename(root), os.path.join(root, filename)))
     print(f"scoring {len(entries)} images under {image_dir}")
+
+    mode = {True: "on", False: "off"}.get(canvas_cache, canvas_cache)
+    cache, slot_of_path, canvas = _judge_canvas_cache(
+        image_dir, predictor.image_size, mode)
+    if cache is not None and not all(e[2] in slot_of_path for e in entries):
+        # files outside the class-dir layout (e.g. images at the root):
+        # slots don't cover the walk, judge without the cache
+        cache, canvas = None, predictor.image_size
+    if cache is not None:
+        print(f"canvas cache: {canvas[0]}x{canvas[1]}, "
+              f"{cache.hit_rate() * 100:.0f}% warm")
 
     out_f = open(output, "w") if output else None
     if out_f:
@@ -303,20 +377,43 @@ def full_judge(
 
     from ..data.loader import decode_batch_into
 
+    def prep(chunk) -> np.ndarray:
+        imgs = np.empty((len(chunk), *canvas, 3), np.uint8)
+        paths = [e[2] for e in chunk]
+        if cache is not None:
+            ids = np.asarray([slot_of_path[p] for p in paths])
+            hit = cache.fetch(ids, imgs)
+            miss = np.nonzero(~hit)[0]
+            if miss.size:
+                decoded = np.empty((miss.size, *canvas, 3), np.uint8)
+                decode_batch_into([paths[j] for j in miss], canvas, decoded,
+                                  pool=pool)
+                imgs[miss] = decoded
+                cache.store(ids[miss], decoded)
+        else:
+            # native C++ batch decode when built (~4x PIL on this host);
+            # judging large uncached datasets is host-decode-bound
+            decode_batch_into(paths, canvas, imgs, pool=pool)
+        return imgs
+
     correct_cnt, cnt = 0, 0
-    iterator = range(0, len(entries), batch_size)
+    starts = list(range(0, len(entries), batch_size))
+    iterator = starts
     if progress:
         import tqdm
 
-        iterator = tqdm.tqdm(iterator, desc="Processing batches", unit="batch")
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        for start in iterator:
+        iterator = tqdm.tqdm(starts, desc="Processing batches", unit="batch")
+    with ThreadPoolExecutor(max_workers=16) as pool, \
+            ThreadPoolExecutor(max_workers=1) as ahead:
+        pending = None
+        if starts:
+            pending = ahead.submit(prep, entries[:batch_size])
+        for i, start in enumerate(iterator):
             chunk = entries[start:start + batch_size]
-            # native C++ batch decode when built (~4x PIL on this host);
-            # judging large datasets is host-decode-bound
-            imgs = np.empty((len(chunk), *predictor.image_size, 3), np.uint8)
-            decode_batch_into([e[2] for e in chunk], predictor.image_size,
-                              imgs, pool=pool)
+            imgs = pending.result()
+            if i + 1 < len(starts):  # overlap next host prep w/ this predict
+                nxt = entries[starts[i + 1]:starts[i + 1] + batch_size]
+                pending = ahead.submit(prep, nxt)
             pred, conf = predictor.predict_array(imgs)
             for (filename, label, path), p, c in zip(chunk, pred, conf):
                 predicted = predictor.idx_to_class[int(p)]
@@ -327,6 +424,8 @@ def full_judge(
                     out_f.write(f"{filename},{predicted},{float(c):.4f},{label},{ok},{path}\n")
     if out_f:
         out_f.close()
+    if cache is not None:
+        cache.flush()  # fill pass done: durable, marker dropped
     acc = correct_cnt / cnt if cnt else 0.0
     print(f"scored {cnt} images, {correct_cnt} correct -> top-1 {acc * 100:.2f}%")
     return acc
@@ -347,11 +446,17 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=0,
                         help="shard judge batches over this many devices "
                              "(0/1 = single device)")
+    parser.add_argument("--canvas-cache", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="with --full: reuse (auto) or build (on) the "
+                             "dataset's decoded-canvas cache so repeat "
+                             "judge sweeps skip JPEG decode")
     args = parser.parse_args(argv)
 
     predictor = init(args, data_dir=args.data_dir)
     if args.full:
-        full_judge(predictor, args.image, args.output)
+        full_judge(predictor, args.image, args.output,
+                   canvas_cache=args.canvas_cache)
         return
     if os.path.isfile(args.image):
         from PIL import Image
