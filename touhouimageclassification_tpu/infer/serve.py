@@ -181,6 +181,31 @@ class Predictor:
             self._params, self._model_state, self._put_batch(padded)))
         return out[0, :n].astype(np.int64), out[1, :n]
 
+    def stage(self, images_u8: np.ndarray):
+        """Pad to a bucket and BEGIN the host->device transfer, returning an
+        opaque staged batch for :meth:`predict_staged`.
+
+        Called from a prefetch thread this pipelines the upload of batch i+1
+        under the predict of batch i — on a tunneled chip the transfer is
+        the judge bottleneck (~36 MB/s measured through the axon relay,
+        ~350 ms for a 64x256x256 uint8 batch), and even locally PCIe/ICI
+        transfer otherwise serializes with compute. Returns None when N
+        exceeds the largest bucket (caller falls back to predict_array)."""
+        n = images_u8.shape[0]
+        bucket = next((b for b in BUCKETS if b >= n), None)
+        if bucket is None:
+            return None
+        padded = np.zeros((bucket, *images_u8.shape[1:]), np.uint8)
+        padded[:n] = images_u8
+        if self._batch_sharding is not None:
+            return self._put_batch(padded)
+        return jax.device_put(padded)
+
+    def predict_staged(self, staged, count: int) -> tuple[np.ndarray, np.ndarray]:
+        """Predict on a batch previously staged with :meth:`stage`."""
+        out = np.asarray(self._predict(self._params, self._model_state, staged))
+        return out[0, :count].astype(np.int64), out[1, :count]
+
     def predict_images(self, pil_images) -> list[tuple[str, float]]:
         arr = np.stack(
             [_pil_to_canvas(im, self.image_size) for im in pil_images]
@@ -377,7 +402,7 @@ def full_judge(
 
     from ..data.loader import decode_batch_into
 
-    def prep(chunk) -> np.ndarray:
+    def prep(chunk):
         imgs = np.empty((len(chunk), *canvas, 3), np.uint8)
         paths = [e[2] for e in chunk]
         if cache is not None:
@@ -394,7 +419,11 @@ def full_judge(
             # native C++ batch decode when built (~4x PIL on this host);
             # judging large uncached datasets is host-decode-bound
             decode_batch_into(paths, canvas, imgs, pool=pool)
-        return imgs
+        # stage the upload here too: host->device transfer of batch i+1
+        # rides under the predict of batch i (the transfer, not decode or
+        # compute, is the judge bottleneck on a tunneled chip)
+        staged = predictor.stage(imgs)
+        return (imgs, None) if staged is None else (staged, len(chunk))
 
     correct_cnt, cnt = 0, 0
     starts = list(range(0, len(entries), batch_size))
@@ -410,11 +439,14 @@ def full_judge(
             pending = ahead.submit(prep, entries[:batch_size])
         for i, start in enumerate(iterator):
             chunk = entries[start:start + batch_size]
-            imgs = pending.result()
+            imgs, staged_n = pending.result()
             if i + 1 < len(starts):  # overlap next host prep w/ this predict
                 nxt = entries[starts[i + 1]:starts[i + 1] + batch_size]
                 pending = ahead.submit(prep, nxt)
-            pred, conf = predictor.predict_array(imgs)
+            if staged_n is not None:
+                pred, conf = predictor.predict_staged(imgs, staged_n)
+            else:
+                pred, conf = predictor.predict_array(imgs)
             for (filename, label, path), p, c in zip(chunk, pred, conf):
                 predicted = predictor.idx_to_class[int(p)]
                 ok = predicted == label
