@@ -374,7 +374,11 @@ def test_two_process_sharded_input_pipeline(tmp_path):
         assert f"pipeline ok {pid}" in out
 
 
-def _run_fit_children(tmp_path, mode, timeout=420, nprocs=2):
+def _run_fit_children(tmp_path, mode, timeout=700, nprocs=2):
+    # timeout sized for the ONE-core box: two JAX-CPU children time-slice
+    # the core with the pytest parent, and mid-suite page-cache pressure
+    # adds minutes (the EP test hit 420 s in a full-suite run while
+    # passing comfortably in isolation)
     from fixtures import make_image_folder
 
     data = make_image_folder(str(tmp_path / "data"), num_classes=3,

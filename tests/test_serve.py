@@ -146,6 +146,32 @@ def test_full_judge_canvas_cache(predictor, tmp_path_factory, tmp_path, monkeypa
     assert csv_auto.read_text() == csv_on.read_text()
 
 
+def test_full_judge_staged_over_mesh_matches_single_device(predictor, dataset,
+                                                           tmp_path):
+    """full_judge stages batch uploads from the prefetch thread; over a
+    --dp mesh the staged buffer must carry the data sharding and produce
+    the same CSV as the single-device judge."""
+    from touhouimageclassification_tpu.parallel.mesh import create_mesh
+
+    index = scan_image_folder(dataset)
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    sharded = Predictor(
+        model=model, params=params, model_state={},
+        class_to_idx=index.class_to_idx, image_size=(32, 32),
+        mean=np.array([0.5, 0.5, 0.5]), std=np.array([0.25, 0.25, 0.25]),
+        mesh=create_mesh(num_data=8),
+    )
+    csv_one = tmp_path / "one.csv"
+    csv_mesh = tmp_path / "mesh.csv"
+    full_judge(predictor, dataset, str(csv_one), batch_size=8, progress=False)
+    full_judge(sharded, dataset, str(csv_mesh), batch_size=8, progress=False)
+    assert csv_mesh.read_text() == csv_one.read_text()
+    staged = sharded.stage(np.zeros((8, 32, 32, 3), np.uint8))
+    assert len(staged.sharding.device_set) == 8
+
+
 def test_full_judge_auto_without_cache_never_allocates(predictor, dataset,
                                                        tmp_path):
     """'auto' on a dataset with no existing cache judges plainly — no

@@ -168,12 +168,25 @@ class Predictor:
         n = images_u8.shape[0]
         bucket = next((b for b in BUCKETS if b >= n), None)
         if bucket is None:
-            preds, confs = [], []
+            # pipelined chunking: the execute for chunk i is dispatched
+            # async, so staging chunk i+1 here overlaps its host->device
+            # transfer with that execution (the transfer dominates on a
+            # tunneled chip); results are fetched once all chunks are in
             step = BUCKETS[-1]
-            for i in range(0, n, step):
-                p, c = self.predict_array(images_u8[i:i + step])
-                preds.append(p)
-                confs.append(c)
+            outs: list[tuple[Any, int]] = []
+            staged = self.stage(images_u8[:step])
+            i = 0
+            while staged is not None:
+                out_dev = self._predict(self._params, self._model_state, staged)
+                outs.append((out_dev, min(step, n - i)))
+                i += step
+                nxt = images_u8[i:i + step]
+                staged = self.stage(nxt) if len(nxt) else None
+            preds, confs = [], []
+            for out_dev, cnt in outs:
+                out = np.asarray(out_dev)
+                preds.append(out[0, :cnt].astype(np.int64))
+                confs.append(out[1, :cnt])
             return np.concatenate(preds), np.concatenate(confs)
         padded = np.zeros((bucket, *images_u8.shape[1:]), np.uint8)
         padded[:n] = images_u8
