@@ -203,7 +203,7 @@ elif mode == "ep":
     mgr.close()
     s2 = float(sum_fn(restored.params["experts"]))
     assert s2 == s1, (s1, s2)
-    print(f"ep ok {pid}", flush=True)
+    print(f"ep ok {pid} sum={s1!r}", flush=True)
 elif mode == "dp_ep":
     # (data=2, expert=2) mesh over 4 single-device hosts: each data
     # coordinate's devices live on TWO processes, so process_input_view
@@ -280,6 +280,118 @@ else:  # mode == "preempt": SIGTERM lands ONLY on process 1
     pdir = os.path.join(cfg.checkpoint.directory, "mh_run_partial")
     assert not any(d.isdigit() for d in os.listdir(pdir)), os.listdir(pdir)
     print(f"preempt ok {pid}", flush=True)
+"""
+
+
+_CHILD_ELASTIC = r"""
+import dataclasses, json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid, port, root, data, work, mode, nprocs = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6], int(sys.argv[7]))
+if nprocs > 1:
+    from touhouimageclassification_tpu.parallel.dist import (
+        initialize_distributed)
+    assert initialize_distributed(f"localhost:{port}", nprocs, pid)
+
+import numpy as np
+from touhouimageclassification_tpu.config import (
+    AugmentConfig, CheckpointConfig, MixConfig, OptimizerConfig, TrainConfig,
+    ViTConfig)
+from touhouimageclassification_tpu.data.folder import (
+    scan_image_folder, random_split)
+from touhouimageclassification_tpu.data.loader import HostImageLoader
+from touhouimageclassification_tpu.models import ViT
+from touhouimageclassification_tpu.train.trainer import Trainer
+
+epochs = 3 if mode in ("resume3", "scratch3") else 2
+cfg = TrainConfig(
+    train_id="mh_elastic", model_type="vit-base", global_batch_size=8,
+    max_epochs=epochs, seed=0,
+    optimizer=OptimizerConfig(name="adamw", learning_rate=3e-3,
+                              weight_decay=0.0),
+    augment=AugmentConfig(enable_augmentation=False),
+    mix=MixConfig(enable_mixup=False),
+    checkpoint=CheckpointConfig(directory=os.path.join(work, "ckpt"),
+                                monitor="val_acc", async_save=False),
+    log_dir=os.path.join(work, "log"),
+    early_stop_patience=0,
+)
+tiny = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                 num_heads=2, mlp_dim=64, num_classes=3)
+index = scan_image_folder(data)
+tr, va = random_split(len(index), 0.75, seed=0)
+train = HostImageLoader(index, tr, batch_size=8, canvas=(32, 32),
+                        shuffle=True, seed=0, drop_last=True)
+val = HostImageLoader(index, va, batch_size=8, canvas=(32, 32),
+                      drop_last=False)
+
+trainer = Trainer(cfg, model=ViT(tiny))
+history = trainer.fit(train, val, resume=(mode == "resume3"))
+print("ELASTIC " + json.dumps(
+    {"mode": mode, "pid": pid,
+     "hist": [[r["epoch"], float(r["train_loss"])] for r in history]}),
+    flush=True)
+print(f"{mode} ok {pid}", flush=True)
+"""
+
+
+_CHILD_EP_RESUME = r"""
+import dataclasses, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+# NO distributed init: one process, one device — the elastic restore case
+
+root, data, work = sys.argv[3], sys.argv[4], sys.argv[5]
+
+import jax.numpy as jnp
+import numpy as np
+from touhouimageclassification_tpu.config import (
+    AugmentConfig, CheckpointConfig, MeshConfig, MixConfig, MoEConfig,
+    OptimizerConfig, TrainConfig, ViTConfig)
+from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+from touhouimageclassification_tpu.train.checkpoint import CheckpointManager
+from touhouimageclassification_tpu.train.tasks import MoETask
+from touhouimageclassification_tpu.train.trainer import Trainer
+
+tiny = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                 num_heads=2, mlp_dim=64, num_classes=3)
+moe = MoEConfig(num_experts=2, top_k=1, num_classes=3, routing="sparse",
+                capacity_factor=2.0, expert_vit=tiny)
+cfg = TrainConfig(
+    train_id="mh_ep", model_type="vit-moe", global_batch_size=8,
+    max_epochs=1, seed=0,
+    optimizer=OptimizerConfig(name="adamw", learning_rate=3e-3,
+                              weight_decay=0.0),
+    augment=AugmentConfig(enable_augmentation=False),
+    mix=MixConfig(enable_mixup=False),
+    checkpoint=CheckpointConfig(directory=os.path.join(work, "ckpt"),
+                                monitor="val_acc", async_save=False),
+    log_dir=os.path.join(work, "log"),
+    mesh=MeshConfig(num_expert_shards=1),  # single device: no EP axis
+)
+trainer = Trainer(cfg, model=MoEClassifier(moe), task=MoETask(moe))
+state = trainer.init_state(4)
+mgr = CheckpointManager(cfg.checkpoint, "mh_ep")
+# the checkpoint was written COOPERATIVELY by two processes, each saving
+# only the expert shards its device owned; Orbax reshards on restore into
+# this process's single-device (fully addressable) template
+restored = mgr.restore(state)
+mgr.close()
+leaf = jax.tree_util.tree_leaves(restored.params["experts"])[0]
+assert leaf.is_fully_addressable
+s = float(sum(jnp.sum(x) for x in
+              jax.tree_util.tree_leaves(restored.params["experts"])))
+print(f"EPSUM {s!r}", flush=True)
+print("ep_resume ok", flush=True)
 """
 
 
@@ -495,5 +607,102 @@ def test_two_process_expert_parallel_fit_and_checkpoint(tmp_path):
     processes (process_input_view overrides the loader's process_count
     split so both hosts load full batches), the expert stacks train as
     process-spanning sharded arrays, and checkpointing them is cooperative
-    — each host writes/reads only its expert shards."""
-    _run_fit_children(tmp_path, "ep")
+    — each host writes/reads only its expert shards.
+
+    Elastic follow-up: a SINGLE process (no distributed init) restores the
+    two-host checkpoint — Orbax reshards the process-spanning expert
+    stacks into the one-device template — and the expert parameter sum
+    matches the value the 2-host cluster computed."""
+    import re
+
+    outs, work = _run_fit_children(tmp_path, "ep")
+    s1 = float(re.search(r"sum=(\S+)", outs[0][1]).group(1))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD_EP_RESUME, "0", "0", _ROOT, "-", work],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, f"{p.stdout}\n{p.stderr}"
+    assert "ep_resume ok" in p.stdout
+    s = float(re.search(r"EPSUM (\S+)", p.stdout).group(1))
+    # same f32 values; only the summation order differs (2-device psum vs
+    # one-device reduce)
+    import numpy as np
+
+    assert np.isclose(s, s1, rtol=1e-5), (s, s1)
+
+
+def _run_elastic_child(data, work, mode, nprocs, port=0):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_ELASTIC, str(pid), str(port),
+             _ROOT, data, work, mode, str(nprocs)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=700)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"elastic {mode} children timed out")
+        outs.append((p.returncode, out, err))
+    import json as _json
+
+    hists = []
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"elastic {mode} process {pid} failed:\n{out}\n{err}"
+        assert f"{mode} ok {pid}" in out
+        line = next(l for l in out.splitlines() if l.startswith("ELASTIC "))
+        hists.append(_json.loads(line[len("ELASTIC "):])["hist"])
+    return hists
+
+
+def test_elastic_resume_across_process_counts(tmp_path):
+    """Checkpoints are topology-portable: a run trained on TWO processes
+    resumes on ONE (scale-down after losing a host) and a single-process
+    run resumes on TWO (scale-up), in both cases continuing at the right
+    epoch with the restored parameters — the loader split and state
+    shardings re-derive from the CURRENT mesh, and Orbax reshards saved
+    arrays into the new template. Verified against a single-process
+    control: the resumed epoch-3 loss must match the control's epoch-3
+    loss, not its epoch-1 loss (a silent restart)."""
+    import numpy as np
+    from fixtures import make_image_folder
+
+    data = make_image_folder(str(tmp_path / "data"), num_classes=3,
+                             per_class=15, size=32)
+
+    work_ctl = str(tmp_path / "ctl")
+    (ctl,) = _run_elastic_child(data, work_ctl, "scratch3", nprocs=1)
+    assert [e for e, _ in ctl] == [1, 2, 3]
+    e1, e3 = ctl[0][1], ctl[2][1]
+    assert abs(e1 - e3) > 1e-3, f"control never learned: {ctl}"
+
+    # scale DOWN: 2-process training, 1-process resume
+    work_a = str(tmp_path / "a")
+    hists = _run_elastic_child(data, work_a, "train2", nprocs=2,
+                               port=_free_port())
+    for h in hists:  # 2-proc losses track the 1-proc control per epoch
+        assert [e for e, _ in h] == [1, 2]
+        np.testing.assert_allclose([l for _, l in h],
+                                   [l for _, l in ctl[:2]], rtol=2e-2)
+    (resumed,) = _run_elastic_child(data, work_a, "resume3", nprocs=1)
+    assert [e for e, _ in resumed] == [3], resumed
+    r3 = resumed[0][1]
+    assert abs(r3 - e3) < 0.25 * abs(e1 - e3), (r3, ctl)
+
+    # scale UP: 1-process training, 2-process resume
+    work_b = str(tmp_path / "b")
+    _run_elastic_child(data, work_b, "train2", nprocs=1)
+    hists = _run_elastic_child(data, work_b, "resume3", nprocs=2,
+                               port=_free_port())
+    for h in hists:
+        assert [e for e, _ in h] == [3], h
+        assert abs(h[0][1] - e3) < 0.25 * abs(e1 - e3), (h, ctl)
