@@ -331,8 +331,38 @@ train = HostImageLoader(index, tr, batch_size=8, canvas=(32, 32),
 val = HostImageLoader(index, va, batch_size=8, canvas=(32, 32),
                       drop_last=False)
 
-trainer = Trainer(cfg, model=ViT(tiny))
-history = trainer.fit(train, val, resume=(mode == "resume3"))
+if mode == "preempt2":
+    # SIGTERM lands on process 1 only, mid-epoch: both hosts agree, save
+    # one cooperative partial checkpoint, and stop before the epoch ends
+    import signal
+
+    class KillDuring:
+        def __init__(self, loader, n):
+            self.loader, self.n, self.fired = loader, n, False
+        def steps_per_epoch(self):
+            return self.loader.steps_per_epoch()
+        def set_epoch(self, *args):
+            self.loader.set_epoch(*args)
+        def __iter__(self):
+            for i, b in enumerate(iter(self.loader)):
+                if pid == 1 and not self.fired and i == self.n:
+                    self.fired = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    assert train.steps_per_epoch() >= 4
+    trainer = Trainer(cfg, model=ViT(tiny))
+    history = trainer.fit(KillDuring(train, 2), val, resume=False)
+    assert history == [], history
+else:
+    trainer = Trainer(cfg, model=ViT(tiny))
+    history = trainer.fit(train, val,
+                          resume=(mode in ("resume3", "presume2")))
+if mode == "presume2":
+    # the resume engaged MID-epoch (exact-step), not an epoch restart
+    with open(os.path.join(cfg.log_dir, "mh_elastic", "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert any(r.get("resumed_mid_epoch") == 1 for r in recs), recs
 print("ELASTIC " + json.dumps(
     {"mode": mode, "pid": pid,
      "hist": [[r["epoch"], float(r["train_loss"])] for r in history]}),
@@ -706,3 +736,34 @@ def test_elastic_resume_across_process_counts(tmp_path):
     for h in hists:
         assert [e for e, _ in h] == [3], h
         assert abs(h[0][1] - e3) < 0.25 * abs(e1 - e3), (h, ctl)
+
+
+def test_elastic_resume_after_mid_epoch_preemption(tmp_path):
+    """The realest elasticity case: a 2-process run is SIGTERM-preempted
+    MID-epoch (cooperative partial checkpoint at the exact optimizer step),
+    then resumed by ONE process — it must finish epoch 1 from that step
+    (metrics record `resumed_mid_epoch`), continue through epoch 2, and
+    land at the control's epoch-2 loss, not a restart's epoch-1 loss."""
+    import numpy as np
+    from fixtures import make_image_folder
+
+    data = make_image_folder(str(tmp_path / "data"), num_classes=3,
+                             per_class=15, size=32)
+    work_ctl = str(tmp_path / "ctl")
+    (ctl,) = _run_elastic_child(data, work_ctl, "train2", nprocs=1)
+    assert [e for e, _ in ctl] == [1, 2]
+    e1, e2 = ctl[0][1], ctl[1][1]
+    assert abs(e1 - e2) > 1e-3, f"control never learned: {ctl}"
+
+    work_p = str(tmp_path / "p")
+    hists = _run_elastic_child(data, work_p, "preempt2", nprocs=2,
+                               port=_free_port())
+    assert hists == [[], []], hists  # both stopped before the epoch closed
+    (resumed,) = _run_elastic_child(data, work_p, "presume2", nprocs=1)
+    assert [e for e, _ in resumed] == [1, 2], resumed
+    # the resumed epoch-1 mean covers only the post-resume steps (the
+    # preempted process's earlier step losses died with it), so compare
+    # the first FULL epoch: epoch 2 must land at the control's epoch-2
+    # loss, far from its epoch-1 loss (which a silent restart would show)
+    np.testing.assert_allclose(resumed[1][1], e2, rtol=2e-2)
+    assert abs(resumed[1][1] - e2) < 0.25 * abs(e1 - e2), (resumed, ctl)
