@@ -230,6 +230,50 @@ def test_collected_cache_drops_its_marker(tmp_path):
     assert c2.hit_rate() == 1.0
 
 
+def test_readonly_consumer_never_marks_dirty(tmp_path):
+    """A warm cache read by a pure consumer (100%-hit judge pass) must hold
+    NO dirty marker — a SIGKILL mid-read would otherwise make the next
+    reader discard and refill a valid multi-GB cache."""
+    from touhouimageclassification_tpu.data.canvas_cache import CanvasCache
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    c1 = CanvasCache(index, (32, 32))
+    ids = np.arange(len(index))
+    c1.store(ids, np.full((len(index), 32, 32, 3), 7, np.uint8))
+    c1.flush()
+    reader = CanvasCache(index, (32, 32))
+    assert reader.hit_rate() == 1.0
+    out = np.empty((len(index), 32, 32, 3), np.uint8)
+    assert reader.fetch(ids, out).all()
+    assert not glob.glob(reader._dirty_path + ".*"), (
+        "read-only access must not create a dirty marker")
+
+
+def test_find_existing_canvas_size_preference(tmp_path):
+    """Cache discovery never returns a canvas smaller than the consumer's
+    input (upscaled pixels would change predictions), prefers an exact
+    match, and otherwise the smallest sufficient canvas."""
+    from touhouimageclassification_tpu.data.canvas_cache import (
+        CanvasCache, find_existing_canvas)
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3, size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    for canvas in ((24, 24), (32, 32), (48, 48)):
+        CanvasCache(index, canvas).store(
+            np.arange(len(index)),
+            np.zeros((len(index), *canvas, 3), np.uint8))
+
+    assert find_existing_canvas(index, min_size=(32, 32)) == (32, 32)
+    assert find_existing_canvas(index, min_size=(28, 28)) == (32, 32)
+    assert find_existing_canvas(index, min_size=(64, 64)) is None
+    assert find_existing_canvas(index) == (24, 24)  # unconstrained: smallest
+    # stale caches are never candidates
+    os.utime(index.paths[0], ns=(1, 1))
+    index2 = scan_image_folder(root, persist_class_map=False)
+    assert find_existing_canvas(index2, min_size=(32, 32)) is None
+
+
 def test_flush_then_store_remarks_dirty(tmp_path):
     """flush() drops the marker while the cache stays alive; the next
     store() must re-mark dirty BEFORE writing so a crash mid-write is

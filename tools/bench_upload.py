@@ -30,20 +30,23 @@ def main():
 
     reduce_fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.float32))
 
-    # per-call floor: tiny upload + reduce + scalar fetch
-    tiny = rng.integers(0, 256, (8,), dtype=np.uint8)
-    float(reduce_fn(jax.device_put(tiny)))  # compile
+    # per-call floor: tiny upload + reduce + scalar fetch (distinct buffers
+    # per rep — identical (executable, input) pairs are relay-memoized)
+    tinies = [rng.integers(0, 256, (8,), dtype=np.uint8) for _ in range(11)]
+    float(reduce_fn(jax.device_put(tinies.pop())))  # compile
     t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
+    for tiny in tinies:
         float(reduce_fn(jax.device_put(tiny)))
-    floor = (time.perf_counter() - t0) / reps
+    floor = (time.perf_counter() - t0) / len(tinies)
     print(json.dumps({"empty_call_floor_ms": round(floor * 1000, 1)}), flush=True)
 
     for mb in (1, 4, 12, 37):
         n = mb * 1_000_000
-        bufs = [rng.integers(0, 256, (n,), dtype=np.uint8) for _ in range(3)]
-        float(reduce_fn(jax.device_put(bufs[0])))  # compile this shape
+        # compile on a buffer NOT reused in the timed loop: re-executing an
+        # identical (executable, input) pair is served from the relay's
+        # memo and would bias the min() toward a rep with no device work
+        bufs = [rng.integers(0, 256, (n,), dtype=np.uint8) for _ in range(4)]
+        float(reduce_fn(jax.device_put(bufs.pop())))  # compile this shape
         best = float("inf")
         for b in bufs:
             t0 = time.perf_counter()
@@ -70,31 +73,38 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, 192, body, x).astype(jnp.float32))
 
     float(spin(a, jnp.float32(1.0)))  # compile
-    t0 = time.perf_counter()
-    float(spin(a, jnp.float32(2.0)))
-    exec_s = time.perf_counter() - t0
+    # best-of-3 each: single reps swing with relay load (0.30-0.57 s was
+    # observed for the same 12 MB upload across sessions)
+    exec_s = min(_timed(lambda s=s: float(spin(a, jnp.float32(2.0 + s))))
+                 for s in range(3))
     ups = [rng.integers(0, 256, (12_000_000,), dtype=np.uint8)
-           for _ in range(2)]
-    t0 = time.perf_counter()
-    float(reduce_fn(jax.device_put(ups[0])))  # 12 MB shape compiled above
-    up_s = time.perf_counter() - t0
+           for _ in range(6)]
+    up_s = min(_timed(lambda b=b: float(reduce_fn(jax.device_put(b))))
+               for b in ups[:3])
 
-    def do_upload():
-        float(reduce_fn(jax.device_put(ups[1])))
-
-    th = threading.Thread(target=do_upload)
-    t0 = time.perf_counter()
-    fut = spin(a, jnp.float32(3.0))  # dispatch async
-    th.start()
-    float(fut)
-    th.join()
-    total = time.perf_counter() - t0
+    totals = []
+    for i in range(3):
+        th = threading.Thread(
+            target=lambda b=ups[3 + i]: float(reduce_fn(jax.device_put(b))))
+        t0 = time.perf_counter()
+        fut = spin(a, jnp.float32(7.0 + i))  # dispatch async
+        th.start()
+        float(fut)
+        th.join()
+        totals.append(time.perf_counter() - t0)
+    total = min(totals)
     print(json.dumps({
         "exec_s": round(exec_s, 3), "upload_s": round(up_s, 3),
         "overlapped_total_s": round(total, 3),
         "serialized_sum_s": round(exec_s + up_s, 3),
         "overlap_works": total < 0.8 * (exec_s + up_s),
     }), flush=True)
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -49,7 +49,7 @@ def run_sweep(
     recompute: bool = False,
     data_dir: str | None = None,
     dp: int = 0,
-    canvas_cache: str = "auto",
+    canvas_cache: str = "on",
 ) -> list[dict]:
     from ..infer import serve as serve_mod
 
@@ -62,8 +62,9 @@ def run_sweep(
                 modelt=mtype, weights=checkpoint,
                 data_dir=data_dir or serve_mod.FILTERED_DATA_DIR, dp=dp,
             )
-            # one test set scored 11x: with canvas_cache='on' the first
-            # model's judge pays decode, the other ten stream the memmap
+            # one test set scored 11x — 'on' by default here: the first
+            # model's judge pays decode + cache fill, the other ten stream
+            # the memmap ('auto' would never build one on a pristine set)
             serve_mod.full_judge(predictor, test_dir, out_csv,
                                  canvas_cache=canvas_cache)
             del predictor
@@ -83,9 +84,10 @@ if __name__ == "__main__":
     parser.add_argument("--dp", type=int, default=0,
                         help="shard judging over this many devices")
     parser.add_argument("--canvas-cache", choices=["auto", "on", "off"],
-                        default="auto",
-                        help="reuse (auto) or build (on) the test set's "
-                             "decoded-canvas cache across the sweep")
+                        default="on",
+                        help="build/reuse the test set's decoded-canvas "
+                             "cache across the 11-model sweep (default on: "
+                             "decode once, stream 10x)")
     args = parser.parse_args()
     for row in run_sweep(recompute=args.recompute, dp=args.dp,
                          canvas_cache=args.canvas_cache):

@@ -25,6 +25,7 @@ import glob
 import hashlib
 import json
 import os
+import threading
 import weakref
 
 import numpy as np
@@ -58,7 +59,11 @@ DECODER_VERSION = "islow-fancy-1"
 # alive for the process lifetime.
 _LIVE_CACHES: "weakref.WeakSet[CanvasCache]" = weakref.WeakSet()
 _ATEXIT_INSTALLED = False
-_MARKER_SEQ = 0  # instance-unique marker suffix within one process
+# instance-unique marker suffix within one process; lock-guarded so two
+# caches constructed from different threads (train + val loaders) can
+# never share a marker path
+_MARKER_SEQ = 0
+_MARKER_LOCK = threading.Lock()
 
 
 def _clean_live_caches() -> None:
@@ -83,6 +88,45 @@ def _finalize_clean(data: np.memmap, done: np.memmap, marker: str) -> None:
         os.remove(marker)
     except (OSError, ValueError):
         pass
+
+
+def find_existing_canvas(index: ImageFolderIndex,
+                         min_size: tuple[int, int] | None = None,
+                         cache_dir: str | None = None) -> tuple[int, int] | None:
+    """Canvas size of a VALID existing cache for ``index``, or None.
+
+    Single source of truth for the meta-validity predicate (fingerprint,
+    entry count, decoder version, .data present) that ``CanvasCache``'s
+    constructor applies — callers probing for a reusable cache (the judge's
+    ``canvas_cache='auto'``) must not duplicate-and-drift it. ``min_size``
+    filters out canvases SMALLER than the consumer's input (feeding a
+    model from an upscaled canvas would silently change predictions);
+    among sufficient ones the smallest is preferred (exact match first) —
+    fewer bytes per batch on transfer-bound paths.
+    """
+    root = cache_dir or os.path.join(index.root, ".tic_canvas_cache")
+    if not os.path.isdir(root):
+        return None
+    fp = _fingerprint(index)
+    candidates: list[tuple[int, int]] = []
+    for meta_path in sorted(glob.glob(os.path.join(root, "*.json"))):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (meta.get("fingerprint") == fp and meta.get("n") == len(index)
+                and meta.get("decoder") == DECODER_VERSION
+                and os.path.exists(meta_path[:-5] + ".data")):
+            canvas = tuple(int(c) for c in meta.get("canvas", ()))
+            if len(canvas) == 2:
+                candidates.append(canvas)
+    if min_size is not None:
+        candidates = [c for c in candidates
+                      if c[0] >= min_size[0] and c[1] >= min_size[1]]
+        if tuple(min_size) in candidates:
+            return tuple(min_size)
+    return min(candidates, key=lambda c: c[0] * c[1]) if candidates else None
 
 
 class CanvasCache:
@@ -151,7 +195,15 @@ class CanvasCache:
             # done page before the canvas pages it flags — done=1 slots
             # could front unwritten (zero) pixels, so refill from scratch.
             self.done[:] = 0
-        self._mark_dirty()
+        # dirty-marking is LAZY (first store()): a read-only consumer of a
+        # warm cache (a 100%-hit judge pass) must not hold a marker whose
+        # survival after a SIGKILL would make the next reader discard and
+        # refill a perfectly valid multi-GB cache. Crashing before any
+        # store is safe markerless — the done map only flags slots whose
+        # pixels a PREVIOUS clean writer made durable.
+        self._clean = True
+        self._own_dirty_path: str | None = None
+        self._finalizer = None
 
     def _crashed_dirty(self) -> bool:
         """True if ANY past writer of this cache died mid-fill.
@@ -206,11 +258,13 @@ class CanvasCache:
 
     def _mark_dirty(self) -> None:
         global _MARKER_SEQ
-        _MARKER_SEQ += 1
+        with _MARKER_LOCK:
+            _MARKER_SEQ += 1
+            seq = _MARKER_SEQ
         # pid first (what _crashed_dirty liveness-checks), then a per-
         # instance sequence so two caches in ONE process never share a
         # marker (the first to clean up must not unmark the second)
-        self._own_dirty_path = f"{self._dirty_path}.{os.getpid()}.{_MARKER_SEQ}"
+        self._own_dirty_path = f"{self._dirty_path}.{os.getpid()}.{seq}"
         with open(self._own_dirty_path, "w") as f:
             f.write("")
         _register_cache(self)
@@ -229,7 +283,8 @@ class CanvasCache:
         try:
             self.data.flush()
             self.done.flush()
-            self._remove_quiet(self._own_dirty_path)
+            if self._own_dirty_path:
+                self._remove_quiet(self._own_dirty_path)
         except (OSError, ValueError):
             pass
 
@@ -257,11 +312,13 @@ class CanvasCache:
     def store(self, ids: np.ndarray, images: np.ndarray) -> None:
         if len(ids) == 0:
             return
-        if getattr(self, "_clean", False):
-            # dirty marker BEFORE the first write after a flush(), so a
-            # crash mid-write is always detectable
+        if self._clean:
+            # dirty marker BEFORE the first write (construction is lazy —
+            # read-only consumers never mark) and before any write after a
+            # flush(), so a crash mid-write is always detectable
             self._clean = False
-            self._finalizer.detach()
+            if self._finalizer is not None:
+                self._finalizer.detach()
             self._mark_dirty()
         self.data[ids] = images
         self.done[ids] = 1

@@ -338,26 +338,11 @@ def _judge_canvas_cache(image_dir: str, image_size: tuple[int, int],
         index = scan_image_folder(image_dir, persist_class_map=False)
     except (FileNotFoundError, NotADirectoryError):
         return None, None, image_size
-    from ..data.canvas_cache import DECODER_VERSION, CanvasCache, _fingerprint
+    from ..data.canvas_cache import CanvasCache, find_existing_canvas
 
-    cache_root = os.path.join(image_dir, ".tic_canvas_cache")
-    canvas = None
-    if os.path.isdir(cache_root):
-        import glob
-        import json
-
-        fp = _fingerprint(index)
-        for meta_path in sorted(glob.glob(os.path.join(cache_root, "*.json"))):
-            try:
-                with open(meta_path) as f:
-                    meta = json.load(f)
-            except (OSError, ValueError):
-                continue
-            if (meta.get("fingerprint") == fp and meta.get("n") == len(index)
-                    and meta.get("decoder") == DECODER_VERSION
-                    and os.path.exists(meta_path[:-5] + ".data")):
-                canvas = tuple(meta["canvas"])
-                break
+    # never an upscaling canvas (min_size): feeding the model from a
+    # smaller-than-input cache would silently change predictions
+    canvas = find_existing_canvas(index, min_size=image_size)
     if canvas is None:
         if mode != "on":
             return None, None, image_size
@@ -387,7 +372,12 @@ def full_judge(
       sweeps over a just-trained dataset skip JPEG decode entirely (the
       jitted predict graph resizes canvas->model size on device, the same
       path the trainer's eval uses). ``'on'`` builds the cache if absent;
-      ``'off'`` always decodes at model size.
+      ``'off'`` always decodes at model size. Known semantic of 'auto':
+      the cached path resamples canvas->model on device while the decode
+      path decodes straight to model size, so per-image confidences can
+      differ in the last digits between a cached and a cache-less copy of
+      the same dataset (the cached pixels match what training/eval saw;
+      caches smaller than the model input are never used).
     """
     entries: list[tuple[str, str, str]] = []  # (filename, label, path)
     for root, _dirs, files in os.walk(image_dir):
