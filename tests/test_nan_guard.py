@@ -89,6 +89,49 @@ def test_nan_batch_skips_update(tmp_path):
     assert int(new_state.step) == 1  # step counter still advances
 
 
+def test_nan_batch_skips_batch_stats(tmp_path):
+    """model_state is guarded too: a NaN batch must not commit its BatchNorm
+    running stats (they'd poison every later forward even with the params
+    update skipped)."""
+    from touhouimageclassification_tpu.models import resnet
+
+    cfg = TrainConfig(
+        train_id="nan_bn", model_type="resnet18", global_batch_size=8,
+        seed=0, nan_guard=True,
+        optimizer=OptimizerConfig(name="sgd", learning_rate=1e-2),
+        augment=AugmentConfig(enable_augmentation=False),
+        mix=MixConfig(enable_mixup=False),
+        checkpoint=CheckpointConfig(directory=str(tmp_path / "c"), async_save=False),
+        log_dir=str(tmp_path / "l"),
+    )
+    mesh = create_mesh(num_data=1, devices=jax.devices()[:1])
+    trainer = Trainer(cfg, model=resnet(18, num_classes=4, image_size=16),
+                      mesh=mesh)
+    state = trainer.init_state(4)
+    assert state.model_state, "resnet18 must carry batch_stats"
+    step = trainer._make_train_step()
+    bad_params = jax.tree_util.tree_map(
+        lambda x: jnp.where(jnp.isfinite(x), x * 1e38, x)
+        if x.ndim >= 2 else x, state.params,
+    )
+    state = state.replace(params=bad_params)
+    before_ms = jax.device_get(state.model_state)
+    batch = jax.device_put(
+        {"image": np.full((8, 16, 16, 3), 255, np.uint8),
+         "label": np.zeros((8,), np.int32),
+         "mask": np.ones((8,), bool)},
+        data_sharding(mesh),
+    )
+    new_state, metrics = step(state, batch)
+    assert not np.isfinite(float(metrics["loss"])) or not np.isfinite(
+        float(metrics["grad_norm"])
+    )
+    after_ms = jax.device_get(new_state.model_state)
+    for a, b in zip(jax.tree_util.tree_leaves(before_ms),
+                    jax.tree_util.tree_leaves(after_ms)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_finite_batch_updates(tmp_path):
     trainer, mesh = _make_trainer(tmp_path)
     state = trainer.init_state(4)

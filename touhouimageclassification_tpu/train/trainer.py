@@ -241,20 +241,24 @@ class Trainer:
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             grad_norm = fast_global_norm(grads)
+            ms_commit = new_ms if new_ms else state.model_state
             if cfg.nan_guard:
                 # one fused finiteness check; non-finite -> skip the update
-                # (replaces the reference's loss-patching, finetune.py:181-188)
+                # (replaces the reference's loss-patching, finetune.py:181-188).
+                # model_state is guarded too: a NaN batch's BatchNorm running
+                # stats would otherwise poison every later step even though
+                # the params update was skipped
                 ok = jnp.isfinite(grad_norm) & jnp.isfinite(loss)
-                new_params, new_opt_state = jax.lax.cond(
+                new_params, new_opt_state, ms_commit = jax.lax.cond(
                     ok,
-                    lambda: (new_params, new_opt_state),
-                    lambda: (state.params, state.opt_state),
+                    lambda: (new_params, new_opt_state, ms_commit),
+                    lambda: (state.params, state.opt_state, state.model_state),
                 )
             new_state = TrainState(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt_state,
-                model_state=new_ms if new_ms else state.model_state,
+                model_state=ms_commit,
             )
             metrics = {"loss": loss, "grad_norm": grad_norm, **aux}
             return new_state, metrics
