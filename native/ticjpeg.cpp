@@ -227,9 +227,12 @@ int tic_decode_mem(const uint8_t* data, long len, int out_h, int out_w,
 }
 
 // Decode n files into a contiguous (n, out_h, out_w, 3) uint8 buffer using
-// nthreads workers. Returns the number of failures; failed slots are zeroed.
-int tic_decode_batch(const char** paths, int n, int out_h, int out_w,
-                     uint8_t* out, int nthreads) {
+// nthreads workers. Returns the number of failures; failed slots are zeroed
+// and, when `failed` is non-NULL, flagged 1 in failed[i] (an n-byte array) —
+// callers need per-slot identity to retry or skip corrupt files rather than
+// guessing from all-zero pixels (a legitimately black image is all-zero too).
+int tic_decode_batch2(const char** paths, int n, int out_h, int out_w,
+                      uint8_t* out, int nthreads, uint8_t* failed) {
   if (nthreads < 1) nthreads = 1;
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
@@ -239,7 +242,9 @@ int tic_decode_batch(const char** paths, int n, int out_h, int out_w,
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* slot = out + stride * i;
-      if (decode_one_file(paths[i], out_h, out_w, slot) != 0) {
+      int rc = decode_one_file(paths[i], out_h, out_w, slot);
+      if (failed) failed[i] = rc != 0;
+      if (rc != 0) {
         memset(slot, 0, stride);
         failures.fetch_add(1);
       }
@@ -251,6 +256,11 @@ int tic_decode_batch(const char** paths, int n, int out_h, int out_w,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failures.load();
+}
+
+int tic_decode_batch(const char** paths, int n, int out_h, int out_w,
+                     uint8_t* out, int nthreads) {
+  return tic_decode_batch2(paths, n, out_h, out_w, out, nthreads, nullptr);
 }
 
 }  // extern "C"

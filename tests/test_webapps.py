@@ -81,6 +81,31 @@ def test_web_demo_get_and_post(monkeypatch, tmp_path):
     assert b"Classification complete for 1 image(s)!" in out
 
 
+def test_web_demo_corrupt_upload_fails_only_that_file(monkeypatch):
+    """One truncated JPEG in a multi-file upload: per-file error flash, the
+    good image still gets its prediction card (Image.open is lazy — without
+    the eager im.load() the failure would surface inside the batched predict
+    and kill every card)."""
+    from web import app as web_app
+
+    monkeypatch.setattr(web_app, "serve_batch",
+                        lambda imgs, target_lang: ([("reimu", 0.93)] * len(imgs), True))
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, format="JPEG")
+    truncated = buf.getvalue()[:24]  # header only, no scan data
+    body, ctype = _multipart(
+        {"lang": "EN", "urls": ""},
+        [("files[]", "good.jpg", buf.getvalue()),
+         ("files[]", "bad.jpg", truncated)])
+    status, _h, out = _wsgi_call(web_app.app, "POST", "/", body, ctype)
+    assert status == "200 OK"
+    assert b"Error reading bad.jpg" in out
+    assert b"reimu" in out
+    assert b"Classification complete for 1 image(s)!" in out
+
+
 def test_web_demo_no_input_flash():
     from web import app as web_app
 

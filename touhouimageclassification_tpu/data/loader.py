@@ -43,35 +43,61 @@ def decode_image(path: str, canvas: tuple[int, int]) -> np.ndarray:
 
 def decode_batch_into(paths: list[str], canvas: tuple[int, int],
                       out: np.ndarray, native=None, nthreads: int = 16,
-                      pool: ThreadPoolExecutor | None = None) -> None:
+                      pool: ThreadPoolExecutor | None = None,
+                      on_error: str = "raise") -> np.ndarray:
     """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3).
 
     All-JPEG batches go through the native C++ decoder in one call
     (``native/``, ~4x the PIL rate on this host) when it is built; anything
     else (or native failures) falls back to threaded PIL. Shared by the
     training loader and the serving ``full_judge`` path.
+
+    ``on_error``: ``'raise'`` (default — training wants corrupt data LOUD,
+    matching the reference loop's behavior) propagates the first decode
+    failure; ``'zero'`` zero-fills undecodable slots and returns their
+    indices so serving paths can skip corrupt files instead of aborting a
+    long judging run. Returns an int index array (always empty for 'raise').
     """
+    if on_error not in ("raise", "zero"):
+        raise ValueError(f"on_error must be 'raise' or 'zero', got {on_error!r}")
     if native is None:
         from . import native_loader
 
         native = native_loader if native_loader.available() else False
+
+    def _pil_one(j: int, p: str):
+        """Decode one file via PIL; returns j on failure in 'zero' mode."""
+        try:
+            out[j] = decode_image(p, canvas)
+            return None
+        except Exception:
+            if on_error == "raise":
+                raise
+            out[j] = 0
+            return j
+
     jpeg_only = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
     if native and jpeg_only:
         # one C call decodes the whole batch in a native thread pool
+        failed = np.zeros((len(paths),), np.uint8)
         _, failures = native.decode_batch(paths, canvas, out=out,
-                                          nthreads=nthreads)
+                                          nthreads=nthreads, failed=failed)
+        bad: list[int] = []
         if failures:
-            # fall back per-file for the zeroed slots
-            for j, p in enumerate(paths):
-                if not out[j].any():
-                    out[j] = decode_image(p, canvas)
-    elif pool is not None:
-        imgs = list(pool.map(lambda p: decode_image(p, canvas), paths))
-        out[:] = np.stack(imgs)
-    else:
+            # per-file PIL retry for the flagged slots (libjpeg rejects some
+            # files PIL accepts, e.g. a PNG renamed .jpg)
+            for j in np.nonzero(failed)[0]:
+                r = _pil_one(int(j), paths[j])
+                if r is not None:
+                    bad.append(r)
+        return np.asarray(bad, np.int64)
+    run = pool.map if pool is not None else None
+    if run is None:
         with ThreadPoolExecutor(max_workers=nthreads) as tmp:
-            imgs = list(tmp.map(lambda p: decode_image(p, canvas), paths))
-        out[:] = np.stack(imgs)
+            results = list(tmp.map(_pil_one, range(len(paths)), paths))
+    else:
+        results = list(run(_pil_one, range(len(paths)), paths))
+    return np.asarray([r for r in results if r is not None], np.int64)
 
 
 class HostImageLoader:

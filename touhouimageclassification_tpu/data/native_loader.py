@@ -30,13 +30,20 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "ticjpeg.cpp")
     if not os.path.exists(src):
         return False
+    # build to a per-pid temp then rename: concurrent processes (test
+    # children, multi-host ranks) may all notice a stale .so at once, and a
+    # reader must never dlopen a half-written file
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-o", _LIB_PATH, src, "-ljpeg", "-lpthread"]
+           "-o", tmp, src, "-ljpeg", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except (subprocess.SubprocessError, FileNotFoundError) as e:
         print(f"native loader build failed ({e}); falling back to PIL")
+        if os.path.exists(tmp):
+            os.remove(tmp)
         return False
 
 
@@ -69,6 +76,12 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
         lib.tic_decode_batch.restype = ctypes.c_int
+        lib.tic_decode_batch2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.tic_decode_batch2.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -94,10 +107,12 @@ def decode_file(path: str, canvas: tuple[int, int]):
 
 
 def decode_batch(paths: list[str], canvas: tuple[int, int], out=None,
-                 nthreads: int | None = None):
+                 nthreads: int | None = None, failed=None):
     """Returns ((n, h, w, 3) uint8 array, failure_count). Failed slots are
     zeroed (same contract as the PIL path raising per-file — callers that
-    need hard failures check the count)."""
+    need hard failures check the count). Pass ``failed`` — an (n,) uint8
+    array — to learn WHICH slots failed (corrupt-file retry/skip needs slot
+    identity; all-zero pixels also describe a legitimately black image)."""
     import numpy as np
 
     lib = _load()
@@ -107,9 +122,14 @@ def decode_batch(paths: list[str], canvas: tuple[int, int], out=None,
     if out is None:
         out = np.empty((n, canvas[0], canvas[1], 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    failures = lib.tic_decode_batch(
+    failed_ptr = (
+        failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if failed is not None else None
+    )
+    failures = lib.tic_decode_batch2(
         arr, n, canvas[0], canvas[1],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         nthreads or min(16, os.cpu_count() or 8),
+        failed_ptr,
     )
     return out, failures

@@ -408,27 +408,40 @@ def full_judge(
     def prep(chunk):
         imgs = np.empty((len(chunk), *canvas, 3), np.uint8)
         paths = [e[2] for e in chunk]
+        # corrupt/truncated files (a crawled corpus always has a few) must
+        # not abort a long judging run: undecodable slots are zero-filled,
+        # skipped in the CSV/accuracy, and reported at the end (the
+        # reference's per-image PIL loop crashes instead, serve.py:212-213)
         if cache is not None:
             ids = np.asarray([slot_of_path[p] for p in paths])
             hit = cache.fetch(ids, imgs)
             miss = np.nonzero(~hit)[0]
+            bad: set[int] = set()
             if miss.size:
                 decoded = np.empty((miss.size, *canvas, 3), np.uint8)
-                decode_batch_into([paths[j] for j in miss], canvas, decoded,
-                                  pool=pool)
+                failed = decode_batch_into(
+                    [paths[j] for j in miss], canvas, decoded, pool=pool,
+                    on_error="zero")
                 imgs[miss] = decoded
-                cache.store(ids[miss], decoded)
+                bad = {int(miss[k]) for k in failed}
+                good = np.asarray([k for k in range(miss.size)
+                                   if int(miss[k]) not in bad])
+                if good.size:  # never mark an undecodable slot cache-done
+                    cache.store(ids[miss[good]], decoded[good])
         else:
             # native C++ batch decode when built (~4x PIL on this host);
             # judging large uncached datasets is host-decode-bound
-            decode_batch_into(paths, canvas, imgs, pool=pool)
+            failed = decode_batch_into(paths, canvas, imgs, pool=pool,
+                                       on_error="zero")
+            bad = {int(j) for j in failed}
         # stage the upload here too: host->device transfer of batch i+1
         # rides under the predict of batch i (the transfer, not decode or
         # compute, is the judge bottleneck on a tunneled chip)
         staged = predictor.stage(imgs)
-        return (imgs, None) if staged is None else (staged, len(chunk))
+        return ((imgs, None) if staged is None else (staged, len(chunk)),
+                bad)
 
-    correct_cnt, cnt = 0, 0
+    correct_cnt, cnt, skipped = 0, 0, []
     starts = list(range(0, len(entries), batch_size))
     iterator = starts
     if progress:
@@ -442,7 +455,7 @@ def full_judge(
             pending = ahead.submit(prep, entries[:batch_size])
         for i, start in enumerate(iterator):
             chunk = entries[start:start + batch_size]
-            imgs, staged_n = pending.result()
+            (imgs, staged_n), bad = pending.result()
             if i + 1 < len(starts):  # overlap next host prep w/ this predict
                 nxt = entries[starts[i + 1]:starts[i + 1] + batch_size]
                 pending = ahead.submit(prep, nxt)
@@ -450,7 +463,11 @@ def full_judge(
                 pred, conf = predictor.predict_staged(imgs, staged_n)
             else:
                 pred, conf = predictor.predict_array(imgs)
-            for (filename, label, path), p, c in zip(chunk, pred, conf):
+            for j, ((filename, label, path), p, c) in enumerate(
+                    zip(chunk, pred, conf)):
+                if j in bad:
+                    skipped.append(path)
+                    continue
                 predicted = predictor.idx_to_class[int(p)]
                 ok = predicted == label
                 cnt += 1
@@ -462,6 +479,9 @@ def full_judge(
     if cache is not None:
         cache.flush()  # fill pass done: durable, marker dropped
     acc = correct_cnt / cnt if cnt else 0.0
+    if skipped:
+        print(f"skipped {len(skipped)} undecodable image(s), e.g. "
+              f"{skipped[0]} (excluded from the CSV and accuracy)")
     print(f"scored {cnt} images, {correct_cnt} correct -> top-1 {acc * 100:.2f}%")
     return acc
 

@@ -160,7 +160,13 @@ def handler(request: Request) -> Response:
         for _field, filename, data in request.files:
             if filename and data:
                 try:
-                    images.append(Image.open(BytesIO(data)))
+                    im = Image.open(BytesIO(data))
+                    # force the decode NOW: Image.open only parses the
+                    # header, so a truncated file would otherwise explode
+                    # inside the batched predict and fail every other image
+                    # in the upload instead of just this one
+                    im.load()
+                    images.append(im)
                     filenames.append(filename)
                 except Exception as e:
                     flashes.append(f'<p class="error">Error reading {escape(filename)}: {escape(str(e))}</p>')
@@ -173,7 +179,9 @@ def handler(request: Request) -> Response:
 
                 r = requests.get(url, stream=True, timeout=20)
                 r.raise_for_status()
-                images.append(Image.open(BytesIO(r.content)))
+                im = Image.open(BytesIO(r.content))
+                im.load()  # same eager-decode rationale as the file branch
+                images.append(im)
                 filenames.append(url.split("/")[-1])
             except Exception as e:
                 flashes.append(f'<p class="error">Error fetching URL {escape(url)}: {escape(str(e))}</p>')
