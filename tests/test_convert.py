@@ -185,3 +185,204 @@ def test_vitmodel_in21k_layout_converts():
         t_logits = full(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
     f_logits = np.asarray(fmodel.apply({"params": params}, x))
     np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ResMoE / TreeViT conversion
+# ---------------------------------------------------------------------------
+
+def _tiny_hf_cfg(num_labels):
+    return transformers.ViTConfig(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        intermediate_size=MLP, image_size=IMG, patch_size=PATCH,
+        num_labels=num_labels,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+
+class _TorchGate(torch.nn.Module):
+    """Test-local mirror of the reference GatingNetwork in eval mode
+    (TIC/ResMoE/model.py:24-38): HF ViT scoring experts, top-k + softmax."""
+
+    def __init__(self, num_experts, top_k):
+        super().__init__()
+        self.vit = transformers.ViTForImageClassification(
+            _tiny_hf_cfg(num_experts))
+        self.top_k = top_k
+
+    def forward(self, x):
+        logits = self.vit(x).logits
+        w, i = torch.topk(logits, self.top_k, dim=1)
+        return torch.softmax(w, dim=1), i
+
+
+class _TorchMoE(torch.nn.Module):
+    """Test-local mirror of the reference MoEClassifier forward
+    (TIC/ResMoE/model.py:40-58): dense expert stack + scattered gate bmm."""
+
+    def __init__(self, num_experts, top_k, num_classes):
+        super().__init__()
+        self.experts = torch.nn.ModuleList([
+            transformers.ViTForImageClassification(_tiny_hf_cfg(num_classes))
+            for _ in range(num_experts)
+        ])
+        self.gate = _TorchGate(num_experts, top_k)
+
+    def forward(self, x):
+        w, idx = self.gate(x)
+        gate = torch.zeros(x.shape[0], len(self.experts))
+        gate = torch.scatter(gate, 1, idx, w)
+        outs = torch.stack([e(x).logits for e in self.experts], dim=1)
+        return torch.bmm(gate.unsqueeze(1), outs).squeeze(1), gate, idx
+
+
+def _tiny_flax_vit_cfg():
+    return ViTConfig(image_size=IMG, patch_size=PATCH, hidden_size=HIDDEN,
+                     num_layers=LAYERS, num_heads=HEADS, mlp_dim=MLP,
+                     num_classes=NCLS)
+
+
+def test_moe_logit_parity():
+    """Reference MoEClassifier .pth -> converter -> flax dense-mode MoE."""
+    from touhouimageclassification_tpu.config import MoEConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+    from touhouimageclassification_tpu.utils.convert import torch_moe_to_flax
+
+    torch.manual_seed(1)
+    tmoe = _TorchMoE(num_experts=3, top_k=2, num_classes=NCLS)
+    tmoe.eval()
+    params = torch_moe_to_flax(tmoe.state_dict(), num_classes=NCLS)
+    assert params["experts"]["cls_token"].shape[0] == 3
+
+    fmoe = MoEClassifier(
+        MoEConfig(num_experts=3, top_k=2, num_classes=NCLS,
+                  expert_vit=_tiny_flax_vit_cfg(), routing="dense"),
+        compute_dtype="float32")
+    x = np.random.default_rng(2).normal(size=(4, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_comb, t_gate, _ = tmoe(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_comb, f_gate, _ = fmoe.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(f_gate), t_gate.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_comb), t_comb.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_moe_lightning_prefix_and_dict_format():
+    """ResMoETrainerModule checkpoints ({'model': sd, 'optimizer': ...,
+    'epoch': ..., 'loss': ...}, TIC/ResMoE/train.py:82-89, with the module's
+    'model.' key prefix) must load through load_torch_checkpoint."""
+    from touhouimageclassification_tpu.config import MoEConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+    from touhouimageclassification_tpu.utils.convert import load_torch_checkpoint
+
+    torch.manual_seed(1)
+    tmoe = _TorchMoE(num_experts=3, top_k=2, num_classes=NCLS)
+    ckpt = {"model": tmoe.state_dict(), "optimizer": {}, "epoch": 5, "loss": 0.1}
+    fmoe = MoEClassifier(
+        MoEConfig(num_experts=3, top_k=2, num_classes=NCLS,
+                  expert_vit=_tiny_flax_vit_cfg()), compute_dtype="float32")
+    params, state = load_torch_checkpoint(ckpt, fmoe, NCLS)
+    assert state == {}
+    assert params["gate"]["vit"]["head"]["kernel"].shape == (HIDDEN, 3)
+
+
+def test_moe_expert_count_mismatch_is_loud():
+    from touhouimageclassification_tpu.config import MoEConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+    from touhouimageclassification_tpu.utils.convert import load_torch_checkpoint
+
+    torch.manual_seed(1)
+    tmoe = _TorchMoE(num_experts=3, top_k=2, num_classes=NCLS)
+    fmoe = MoEClassifier(
+        MoEConfig(num_experts=8, top_k=2, num_classes=NCLS,
+                  expert_vit=_tiny_flax_vit_cfg()))
+    with pytest.raises(ValueError, match="3 experts"):
+        load_torch_checkpoint(tmoe.state_dict(), fmoe, NCLS)
+
+
+class _TorchTree(torch.nn.Module):
+    """Test-local mirror of the reference TreeModule forward
+    (TIC/TreeViT/model.py:7-24): root picks top-k categories, a per-sample
+    loop pushes each image through its chosen sons, softmaxed weights
+    combine. (The reference forgets .logits on the root call — one of the
+    documented WIP bugs; the intended math uses logits.)"""
+
+    def __init__(self, num_categories, num_classes, top_k):
+        super().__init__()
+        self.root = transformers.ViTForImageClassification(
+            _tiny_hf_cfg(num_categories))
+        self.sons = torch.nn.ModuleList([
+            transformers.ViTForImageClassification(_tiny_hf_cfg(num_classes))
+            for _ in range(num_categories)
+        ])
+        self.top_k = top_k
+
+    def forward(self, x):
+        choose = self.root(x).logits
+        w, idx = torch.topk(choose, self.top_k, dim=1)
+        smoothed = torch.softmax(w, dim=1)
+        son_logits = torch.cat([
+            torch.stack([self.sons[i.item()](x[b:b + 1]).logits
+                         for i in idx[b]], dim=1)
+            for b in range(x.shape[0])
+        ], dim=0)
+        return torch.bmm(smoothed.unsqueeze(1), son_logits).squeeze(1)
+
+
+def test_treevit_logit_parity():
+    """Reference TreeModule .pth -> converter -> flax TreeViT."""
+    from touhouimageclassification_tpu.config import TreeViTConfig
+    from touhouimageclassification_tpu.models.treevit import TreeViT
+    from touhouimageclassification_tpu.utils.convert import torch_treevit_to_flax
+
+    torch.manual_seed(3)
+    ttree = _TorchTree(num_categories=3, num_classes=NCLS, top_k=2)
+    ttree.eval()
+    params = torch_treevit_to_flax(ttree.state_dict(), num_classes=NCLS)
+    assert params["sons"]["cls_token"].shape[0] == 3
+
+    # capacity_factor sized so no routed sample is ever dropped (the torch
+    # loop has no capacity; parity needs every (sample, son) pair computed)
+    ftree = TreeViT(
+        TreeViTConfig(num_categories=3, num_classes=NCLS, top_k=2,
+                      capacity_factor=3.0, vit=_tiny_flax_vit_cfg()),
+        compute_dtype="float32")
+    x = np.random.default_rng(4).normal(size=(3, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_comb = ttree(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        t_choice = ttree.root(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                              ).logits.numpy()
+    f_comb, f_choice = ftree.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(f_choice), t_choice,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_comb), t_comb,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_convert_and_save_infers_member_counts(tmp_path):
+    """The CLI path builds the model with the checkpoint's expert count, not
+    the config default (8)."""
+    from touhouimageclassification_tpu.utils import convert as C
+
+    torch.manual_seed(1)
+    tmoe = _TorchMoE(num_experts=3, top_k=2, num_classes=NCLS)
+    pth = tmp_path / "moe.pth"
+    torch.save(tmoe.state_dict(), pth)
+
+    built = {}
+    real_create = None
+
+    def spy_create(model_type, num_classes, **overrides):
+        built.update(overrides)
+        raise RuntimeError("stop before Orbax")  # count check is the point
+
+    import touhouimageclassification_tpu.models as M
+    real_create = M.create_model
+    try:
+        M.create_model = spy_create
+        with pytest.raises(RuntimeError, match="stop before Orbax"):
+            C.convert_and_save(str(pth), "resmoe", NCLS, str(tmp_path / "out"))
+    finally:
+        M.create_model = real_create
+    assert built == {"num_experts": 3}

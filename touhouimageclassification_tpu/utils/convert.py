@@ -9,7 +9,10 @@ directories — into this framework's parameter pytrees, bit-exactly:
 - HF ``ViTForImageClassification`` (``vit.embeddings...``/``classifier.*``
   keys) -> the fused-QKV flax tree of ``models/vit.py``,
 - the reference's torchvision-style ResNet (``TIC/ResNet/model.py``) ->
-  ``models/resnet.py`` params + batch_stats.
+  ``models/resnet.py`` params + batch_stats,
+- the reference's ResMoE (``TIC/ResMoE/model.py``: per-expert HF ViTs +
+  gate ViT) and TreeViT (``TIC/TreeViT/model.py``: root + son HF ViTs) ->
+  the stacked-member flax trees of ``models/{resmoe,treevit}.py``.
 
 Head-mismatch semantics follow ``ignore_mismatched_sizes=True``
 (``TIC/ViT/model.py:27-32``): a classifier whose shape disagrees with
@@ -194,17 +197,81 @@ def torch_resnet_to_flax(
 
 
 # ---------------------------------------------------------------------------
+# ResMoE / TreeViT (compositions of HF ViTs)
+# ---------------------------------------------------------------------------
+
+def _subdict(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _stack_trees(trees: list) -> dict:
+    """Stack per-member ViT param trees leaf-wise onto a leading axis — the
+    layout of the ``nn.vmap``-stacked experts/sons in ``models/resmoe.py``
+    and ``models/treevit.py``."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+
+
+def _member_ids(sd: Mapping[str, Any], name: str) -> list[int]:
+    ids = sorted(
+        {int(m.group(1)) for k in sd
+         if (m := re.match(rf"{name}\.(\d+)\.", k))}
+    )
+    if not ids or ids != list(range(len(ids))):
+        raise ValueError(
+            f"checkpoint has no contiguous '{name}.N.*' keys "
+            f"(found indices {ids}) — not a reference "
+            f"{'MoEClassifier' if name == 'experts' else 'TreeModule'} "
+            "state dict?"
+        )
+    return ids
+
+
+def torch_moe_to_flax(state_dict: Mapping[str, Any], num_classes: int) -> dict:
+    """Reference ``MoEClassifier`` state dict (``TIC/ResMoE/model.py:40-72``:
+    ``experts.{i}.*`` HF ViTs, ``gate.vit.*`` = the GatingNetwork's HF ViT
+    whose head scores the experts, identity backbone) -> flax params for
+    :class:`models.resmoe.MoEClassifier` (gate ViT under ``gate/vit``,
+    experts stacked on a leading axis)."""
+    sd = _strip_prefixes(dict(state_dict))
+    expert_ids = _member_ids(sd, "experts")
+    gate = torch_vit_to_flax(_subdict(sd, "gate.vit."),
+                             num_classes=len(expert_ids))
+    experts = [
+        torch_vit_to_flax(_subdict(sd, f"experts.{i}."), num_classes,
+                          head_init_seed=i)
+        for i in expert_ids
+    ]
+    return {"gate": {"vit": gate}, "experts": _stack_trees(experts)}
+
+
+def torch_treevit_to_flax(state_dict: Mapping[str, Any],
+                          num_classes: int) -> dict:
+    """Reference ``TreeModule`` state dict (``TIC/TreeViT/model.py:7-30``:
+    ``root.*`` HF ViT scoring categories, ``sons.{i}.*`` HF ViTs scoring
+    classes) -> flax params for :class:`models.treevit.TreeViT` (root ViT +
+    sons stacked on a leading axis)."""
+    sd = _strip_prefixes(dict(state_dict))
+    son_ids = _member_ids(sd, "sons")
+    root = torch_vit_to_flax(_subdict(sd, "root."), num_classes=len(son_ids))
+    sons = [
+        torch_vit_to_flax(_subdict(sd, f"sons.{i}."), num_classes,
+                          head_init_seed=i)
+        for i in son_ids
+    ]
+    return {"root": root, "sons": _stack_trees(sons)}
+
+
+# ---------------------------------------------------------------------------
 # entry points
 # ---------------------------------------------------------------------------
 
-def load_torch_checkpoint(path, model, num_classes: int):
-    """Reference ``.pth`` path (or an already-loaded state dict) ->
-    (params, model_state). Tolerates the tuple checkpoints
-    ``(model_sd, optim[, sched])`` and dict formats the reference loaders
-    accept (``TIC/utils/serve.py:71-77``)."""
-    from ..models.resnet import ResNet
-    from ..models.vit import ViT
-
+def _normalize_ckpt(path):
+    """Reference ``.pth`` path (or an already-loaded object) -> bare state
+    dict. Tolerates the tuple checkpoints ``(model_sd, optim[, sched])`` and
+    dict formats the reference loaders accept
+    (``TIC/utils/serve.py:71-77``)."""
     if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
         import torch
 
@@ -219,7 +286,37 @@ def load_torch_checkpoint(path, model, num_classes: int):
         hasattr(v, "shape") for v in ckpt["model"].values()
     ):
         ckpt = ckpt["model"]
+    return ckpt
 
+
+def load_torch_checkpoint(path, model, num_classes: int):
+    """Reference ``.pth`` path (or an already-loaded state dict) ->
+    (params, model_state) for ``model``."""
+    from ..models.resmoe import MoEClassifier
+    from ..models.resnet import ResNet
+    from ..models.treevit import TreeViT
+    from ..models.vit import ViT
+
+    ckpt = _normalize_ckpt(path)
+
+    if isinstance(model, MoEClassifier):
+        params = torch_moe_to_flax(ckpt, num_classes)
+        got = params["experts"]["cls_token"].shape[0]
+        if got != model.cfg.num_experts:
+            raise ValueError(
+                f"checkpoint holds {got} experts but the model is configured "
+                f"for {model.cfg.num_experts} (MoEConfig.num_experts)"
+            )
+        return params, {}
+    if isinstance(model, TreeViT):
+        params = torch_treevit_to_flax(ckpt, num_classes)
+        got = params["sons"]["cls_token"].shape[0]
+        if got != model.cfg.num_categories:
+            raise ValueError(
+                f"checkpoint holds {got} sons but the model is configured "
+                f"for {model.cfg.num_categories} (TreeViTConfig.num_categories)"
+            )
+        return params, {}
     if isinstance(model, ViT):
         return torch_vit_to_flax(ckpt, num_classes), {}
     if isinstance(model, ResNet):
@@ -228,12 +325,23 @@ def load_torch_checkpoint(path, model, num_classes: int):
 
 
 def convert_and_save(path: str, model_type: str, num_classes: int, out_dir: str):
-    """CLI helper: ``.pth`` -> Orbax params dir consumable by serve."""
+    """CLI helper: ``.pth`` -> Orbax params dir consumable by serve. For
+    MoE/TreeViT checkpoints the expert/son count is inferred from the state
+    dict, so the default configs need no hand-editing."""
     from ..models import create_model
     from ..train.checkpoint import save_params
 
-    model = create_model(model_type, num_classes=num_classes)
-    params, model_state = load_torch_checkpoint(path, model, num_classes)
+    ckpt = _normalize_ckpt(path)
+    overrides: dict[str, int] = {}
+    mt = model_type.lower().replace("_", "-")
+    if mt in ("vit-moe", "resmoe"):
+        overrides["num_experts"] = len(_member_ids(_strip_prefixes(ckpt),
+                                                   "experts"))
+    elif mt in ("tree-vit", "treevit"):
+        overrides["num_categories"] = len(_member_ids(_strip_prefixes(ckpt),
+                                                      "sons"))
+    model = create_model(model_type, num_classes=num_classes, **overrides)
+    params, model_state = load_torch_checkpoint(ckpt, model, num_classes)
     payload = {"params": params}
     if model_state:
         payload["model_state"] = model_state
