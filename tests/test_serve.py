@@ -211,3 +211,54 @@ def test_serving_meta_roundtrip(dataset, tmp_path):
         S.get_model = orig
     np.testing.assert_allclose(pred.mean, [0.1, 0.2, 0.3])
     np.testing.assert_allclose(pred.std, [0.5, 0.5, 0.5])
+
+
+def test_init_infers_moe_member_count_from_pth(tmp_path, monkeypatch):
+    """serve.init with a reference MoE .pth whose expert count differs from
+    the MoEConfig default must rebuild the model from the checkpoint's count
+    (the count lives in the state dict, not the config)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from touhouimageclassification_tpu.config import MoEConfig
+    from touhouimageclassification_tpu.infer import serve as S
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+
+    n_cls = 5
+    tiny = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                     num_layers=2, num_heads=4, mlp_dim=128, num_classes=n_cls)
+
+    def hf_cfg(nl):
+        return transformers.ViTConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, image_size=32, patch_size=16, num_labels=nl)
+
+    class TorchMoE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.experts = torch.nn.ModuleList([
+                transformers.ViTForImageClassification(hf_cfg(n_cls))
+                for _ in range(3)])
+            gate = torch.nn.Module()
+            gate.vit = transformers.ViTForImageClassification(hf_cfg(3))
+            self.gate = gate
+
+    torch.manual_seed(0)
+    pth = tmp_path / "moe3.pth"
+    torch.save(TorchMoE().state_dict(), pth)
+
+    data = make_image_folder(str(tmp_path / "d"), num_classes=n_cls,
+                             per_class=1, size=32)
+
+    seen_overrides = []
+
+    def fake_create(model_type, num_classes, **ov):
+        seen_overrides.append(ov)
+        return MoEClassifier(MoEConfig(
+            num_experts=ov.get("num_experts", 8), top_k=2,
+            num_classes=num_classes, expert_vit=tiny))
+
+    monkeypatch.setattr(S, "create_model", fake_create)
+    pred = S.init(modelt="resmoe", weights=str(pth), data_dir=data)
+    assert {"num_experts": 3} in seen_overrides
+    assert pred.params["experts"]["cls_token"].shape[0] == 3

@@ -287,7 +287,26 @@ def init(
         model = get_model(mt, num_classes)
         image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
 
-    params, model_state = load_weights(weights, model, num_classes)
+    if weights.endswith((".pth", ".pt", ".bin", ".safetensors")):
+        # reference torch checkpoints: MoE/TreeViT member counts live in the
+        # state dict, not the config — rebuild the model to match before
+        # converting (member_overrides is {} for ViT/ResNet)
+        from ..utils.convert import (_normalize_ckpt, load_torch_checkpoint,
+                                     member_overrides)
+
+        if weights.endswith(".safetensors"):
+            from ..utils.pretrained import _load_state_dict
+
+            ckpt = _load_state_dict(weights)
+        else:
+            ckpt = _normalize_ckpt(weights)
+        mt_full = _SERVE_TYPE_ALIASES.get(mt, mt)
+        overrides = member_overrides(ckpt, mt_full)
+        if overrides:
+            model = create_model(mt_full, num_classes=num_classes, **overrides)
+        params, model_state = load_torch_checkpoint(ckpt, model, num_classes)
+    else:
+        params, model_state = load_weights(weights, model, num_classes)
     if meta:
         mean, std = np.asarray(meta["mean"]), np.asarray(meta["std"])
     else:

@@ -228,6 +228,20 @@ def _member_ids(sd: Mapping[str, Any], name: str) -> list[int]:
     return ids
 
 
+def member_overrides(state_dict: Mapping[str, Any], model_type: str) -> dict:
+    """Config overrides inferred from a reference MoE/TreeViT state dict —
+    the expert/son count lives in the checkpoint, not the config, so loaders
+    rebuild the model to match. ``{}`` for other model types."""
+    mt = model_type.lower().replace("_", "-")
+    if mt in ("vit-moe", "resmoe"):
+        return {"num_experts": len(_member_ids(_strip_prefixes(state_dict),
+                                               "experts"))}
+    if mt in ("tree-vit", "treevit"):
+        return {"num_categories": len(_member_ids(_strip_prefixes(state_dict),
+                                                  "sons"))}
+    return {}
+
+
 def torch_moe_to_flax(state_dict: Mapping[str, Any], num_classes: int) -> dict:
     """Reference ``MoEClassifier`` state dict (``TIC/ResMoE/model.py:40-72``:
     ``experts.{i}.*`` HF ViTs, ``gate.vit.*`` = the GatingNetwork's HF ViT
@@ -332,14 +346,7 @@ def convert_and_save(path: str, model_type: str, num_classes: int, out_dir: str)
     from ..train.checkpoint import save_params
 
     ckpt = _normalize_ckpt(path)
-    overrides: dict[str, int] = {}
-    mt = model_type.lower().replace("_", "-")
-    if mt in ("vit-moe", "resmoe"):
-        overrides["num_experts"] = len(_member_ids(_strip_prefixes(ckpt),
-                                                   "experts"))
-    elif mt in ("tree-vit", "treevit"):
-        overrides["num_categories"] = len(_member_ids(_strip_prefixes(ckpt),
-                                                      "sons"))
+    overrides = member_overrides(ckpt, model_type)
     model = create_model(model_type, num_classes=num_classes, **overrides)
     params, model_state = load_torch_checkpoint(ckpt, model, num_classes)
     payload = {"params": params}
