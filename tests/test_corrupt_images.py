@@ -162,3 +162,94 @@ def test_training_loader_stays_strict(mixed_dir):
     with pytest.raises(Exception):
         for _ in loader:
             pass
+
+
+def test_loader_skip_mode_masks_corrupt_slots(mixed_dir):
+    """on_error='skip': corrupt slots leave the batch via the mask (labels
+    of good slots untouched), instead of aborting or feeding zero images."""
+    index = scan_image_folder(mixed_dir, persist_class_map=False)
+    loader = L.HostImageLoader(index, batch_size=len(index), canvas=(32, 32),
+                               shuffle=False, drop_last=False,
+                               on_error="skip")
+    (batch,) = list(loader)
+    assert int(batch["mask"].sum()) == 8  # 2 classes x 4 good images
+    good = batch["image"][batch["mask"]]
+    assert all(im.any() for im in good), "good slots must hold real pixels"
+    bad_names = {"truncated.jpg", "garbage.jpg", "empty.jpg"}
+    order = [os.path.basename(index.paths[i]) for i in loader.subset]
+    expect = np.asarray([name not in bad_names for name in order])
+    np.testing.assert_array_equal(batch["mask"], expect)
+
+
+def test_loader_skip_mode_never_caches_corrupt(mixed_dir):
+    """A corrupt slot must not be stored in the canvas cache: the warm pass
+    would otherwise fetch done=1 zeros and report the slot as valid."""
+    index = scan_image_folder(mixed_dir, persist_class_map=False)
+
+    def run():
+        loader = L.HostImageLoader(
+            index, batch_size=len(index), canvas=(32, 32), shuffle=False,
+            drop_last=False, on_error="skip", canvas_cache=True)
+        (batch,) = list(loader)
+        loader._cache.flush()
+        return batch
+
+    try:
+        cold, warm = run(), run()
+        np.testing.assert_array_equal(cold["mask"], warm["mask"])
+        assert int(warm["mask"].sum()) == 8
+        np.testing.assert_array_equal(cold["image"], warm["image"])
+    finally:
+        shutil.rmtree(os.path.join(mixed_dir, ".tic_canvas_cache"),
+                      ignore_errors=True)
+
+
+def test_mean_std_survives_corrupt_corpus(mixed_dir, tmp_path):
+    """calculate_mean_std must exclude undecodable files from the statistics
+    — same numbers as a clean copy of the corpus (the serve-path repro:
+    init() computes stats over the judged directory before full_judge)."""
+    from touhouimageclassification_tpu.utils.mean_std import calculate_mean_std
+
+    clean = str(tmp_path / "clean")
+    shutil.copytree(mixed_dir, clean)
+    for n in ("truncated.jpg", "garbage.jpg", "empty.jpg"):
+        os.remove(os.path.join(clean, "class_00", n))
+    m1, s1 = calculate_mean_std(mixed_dir, (32, 32), batch_size=4, cache=False)
+    m2, s2 = calculate_mean_std(clean, (32, 32), batch_size=4, cache=False)
+    np.testing.assert_allclose(m1, m2)
+    np.testing.assert_allclose(s1, s2)
+    assert np.all(np.isfinite(m1)) and np.all(s1 > 0)
+
+
+def test_serve_init_survives_corrupt_corpus(mixed_dir, tmp_path):
+    """End-to-end repro of the judging entry point: serve.init over a corpus
+    with corrupt files (no cached stats, no serving_meta) must compute
+    mean/std instead of crashing in the strict loader."""
+    from touhouimageclassification_tpu.infer import serve as S
+    from touhouimageclassification_tpu.train.checkpoint import save_params
+
+    out = str(tmp_path / "params")
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    save_params(out, {"params": params})
+    orig = S.get_model
+    S.get_model = lambda mt, n: ViT(TINY)
+    try:
+        pred = S.init(modelt="vit-base", weights=out, data_dir=mixed_dir)
+    finally:
+        S.get_model = orig
+        cache = os.path.join(mixed_dir, "meta_mean_std.json")
+        if os.path.exists(cache):
+            os.remove(cache)
+    assert np.all(np.isfinite(pred.mean)) and np.all(pred.std > 0)
+
+
+def test_mean_std_all_corrupt_raises_clearly(tmp_path):
+    from touhouimageclassification_tpu.utils.mean_std import calculate_mean_std
+
+    cdir = os.path.join(str(tmp_path / "allbad"), "class_00")
+    os.makedirs(cdir)
+    _write_corrupt_files(cdir)
+    with pytest.raises(ValueError, match="no decodable images"):
+        calculate_mean_std(str(tmp_path / "allbad"), (32, 32), cache=False)

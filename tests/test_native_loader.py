@@ -329,3 +329,30 @@ def test_cache_requires_free_disk(tmp_path, monkeypatch):
     monkeypatch.setattr(cc.os, "statvfs", lambda _: FakeStat())
     with pytest.raises(RuntimeError, match="free"):
         cc.CanvasCache(index, (32, 32))
+
+
+def test_decode_batch_rejects_bad_buffers(jpgs):
+    """The C side writes n*h*w*3 bytes (and failed[0:n]) blind — undersized
+    or mistyped caller buffers must raise instead of corrupting the heap."""
+    n = len(jpgs)
+    with pytest.raises(ValueError, match="failed"):
+        native_loader.decode_batch(jpgs, (32, 32),
+                                   failed=np.zeros(n - 1, np.uint8))
+    with pytest.raises(ValueError, match="failed"):
+        native_loader.decode_batch(jpgs, (32, 32),
+                                   failed=np.zeros(n, np.int32))
+    with pytest.raises(ValueError, match="out"):
+        native_loader.decode_batch(
+            jpgs, (32, 32), out=np.empty((n - 1, 32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="out"):
+        native_loader.decode_batch(
+            jpgs, (32, 32), out=np.empty((n, 48, 48, 3), np.uint8))
+    with pytest.raises(ValueError, match="out"):
+        native_loader.decode_batch(
+            jpgs, (32, 32),
+            out=np.empty((n, 32, 32, 4), np.uint8)[..., :3])  # non-contiguous
+    # the valid shapes still work
+    out, failures = native_loader.decode_batch(
+        jpgs, (32, 32), out=np.empty((n, 32, 32, 3), np.uint8),
+        failed=np.zeros(n, np.uint8))
+    assert failures == 0 and out.any()

@@ -13,6 +13,7 @@ via ``decode_backend='native'`` once built; the interface is identical.
 """
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import threading
@@ -123,6 +124,7 @@ class HostImageLoader:
         decode_backend: str = "auto",
         canvas_cache: bool | str = False,
         process_shard: bool | str | tuple[int, int] = "auto",
+        on_error: str = "raise",
     ):
         self.index = index
         self.subset = subset if subset is not None else np.arange(len(index))
@@ -162,6 +164,14 @@ class HostImageLoader:
             self._local_batch = None
         else:
             self._local_batch = batch_size // self._pcount
+        # 'raise' (default): corrupt data aborts LOUDLY — a training run must
+        # not silently learn from zero images. 'skip': undecodable files are
+        # masked out of the batch (serving/statistics consumers that must
+        # survive a crawled corpus with a few broken files).
+        if on_error not in ("raise", "skip"):
+            raise ValueError(
+                f"on_error must be 'raise' or 'skip', got {on_error!r}")
+        self.on_error = on_error
         self.num_threads = num_threads or min(16, (os.cpu_count() or 8))
         self.prefetch_batches = prefetch_batches
         self.loop = loop
@@ -242,14 +252,22 @@ class HostImageLoader:
         return order
 
     def _decode_into(self, paths: list[str], out: np.ndarray,
-                     pool: ThreadPoolExecutor) -> None:
-        """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3)."""
+                     pool: ThreadPoolExecutor) -> np.ndarray:
+        """Decode ``paths`` into the rows of ``out`` (len(paths), H, W, 3).
+        Returns the row indices that failed to decode (empty in 'raise'
+        mode, which propagates instead)."""
         # False (not None) when the native path is unavailable or the
         # backend was explicitly 'pil' — None would make the shared helper
         # re-probe and override the explicit choice
-        decode_batch_into(paths, self.canvas, out,
-                          native=self._native if self._native else False,
-                          nthreads=self.num_threads, pool=pool)
+        bad = decode_batch_into(
+            paths, self.canvas, out,
+            native=self._native if self._native else False,
+            nthreads=self.num_threads, pool=pool,
+            on_error="zero" if self.on_error == "skip" else "raise")
+        for j in bad:
+            logging.getLogger(__name__).warning(
+                "skipping undecodable image %s", paths[int(j)])
+        return bad
 
     def _make_batch(self, ids: np.ndarray, pool: ThreadPoolExecutor) -> dict:
         n = len(ids)
@@ -265,17 +283,25 @@ class HostImageLoader:
         if self._cache is not None:
             hit = self._cache.fetch(ids, image[:n])
             miss = np.nonzero(~hit)[0]
+            bad = np.asarray([], np.int64)
             if miss.size:
                 decoded = np.empty((miss.size, *self.canvas, 3), np.uint8)
-                self._decode_into([self.index.paths[i] for i in ids[miss]],
-                                  decoded, pool)
+                bad = self._decode_into(
+                    [self.index.paths[i] for i in ids[miss]], decoded, pool)
                 image[miss] = decoded
-                self._cache.store(ids[miss], decoded)
+                # never cache an undecodable slot: done=1 zeros would read as
+                # a legitimately black image on the next epoch/process
+                good = np.setdiff1d(np.arange(miss.size), bad)
+                if good.size:
+                    self._cache.store(ids[miss[good]], decoded[good])
+            bad = miss[bad] if bad.size else bad
         else:
-            self._decode_into([self.index.paths[i] for i in ids], image[:n],
-                              pool)
+            bad = self._decode_into([self.index.paths[i] for i in ids],
+                                    image[:n], pool)
         label[:n] = self.index.labels[ids]
         mask[:n] = True
+        if bad.size:
+            mask[bad] = False  # 'skip' mode: corrupt slots leave the batch
         return {"image": image, "label": label, "mask": mask}
 
     def _iter_epoch(self, pool: ThreadPoolExecutor) -> Iterator[dict]:

@@ -121,6 +121,21 @@ def decode_batch(paths: list[str], canvas: tuple[int, int], out=None,
     n = len(paths)
     if out is None:
         out = np.empty((n, canvas[0], canvas[1], 3), np.uint8)
+    else:
+        # the C side writes n*h*w*3 bytes (and failed[0:n]) with no length
+        # information of its own — an undersized or wrong-dtype buffer is
+        # silent heap corruption, not an exception
+        if (out.dtype != np.uint8 or not out.flags.c_contiguous
+                or out.shape[:1] != (n,) or out.shape[1:] != (*canvas, 3)):
+            raise ValueError(
+                f"out must be a C-contiguous ({n}, {canvas[0]}, {canvas[1]}, "
+                f"3) uint8 array, got {out.dtype} {out.shape}")
+    if failed is not None and (
+            failed.dtype != np.uint8 or not failed.flags.c_contiguous
+            or failed.shape != (n,)):
+        raise ValueError(
+            f"failed must be a C-contiguous ({n},) uint8 array, got "
+            f"{failed.dtype} {failed.shape}")
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     failed_ptr = (
         failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

@@ -60,6 +60,37 @@ def get_model(model_type: str, num_classes: int):
     return create_model(_SERVE_TYPE_ALIASES.get(mt, mt), num_classes=num_classes)
 
 
+TORCH_CKPT_EXTS = (".pth", ".pt", ".bin", ".safetensors")
+
+
+def _load_torch_weights(path: str, model, num_classes: int | None,
+                        model_type: str | None = None):
+    """One shared torch-checkpoint path for ``load_weights`` and ``init``.
+
+    Returns ``(params, model_state, model)`` — ``model`` may be REBUILT when
+    ``model_type`` is given and the state dict implies different MoE/TreeViT
+    member counts than the default config (the reference stores those counts
+    only in the weights; cf. ``TIC/utils/serve.py:47-81`` which sidesteps the
+    problem by hardcoding per-type constructors).
+    """
+    from ..utils.convert import (_normalize_ckpt, load_torch_checkpoint,
+                                 member_overrides)
+
+    if path.endswith(".safetensors"):
+        from ..utils.pretrained import _load_state_dict
+
+        ckpt = _load_state_dict(path)
+    else:
+        ckpt = _normalize_ckpt(path)
+    if model_type is not None:
+        overrides = member_overrides(ckpt, model_type)
+        if overrides:
+            model = create_model(model_type, num_classes=num_classes,
+                                 **overrides)
+    params, model_state = load_torch_checkpoint(ckpt, model, num_classes)
+    return params, model_state, model
+
+
 def load_weights(path: str, model=None, num_classes: int | None = None):
     """Load serving weights.
 
@@ -68,14 +99,9 @@ def load_weights(path: str, model=None, num_classes: int | None = None):
     format diversity the reference handles at ``serve.py:71-77``), or a
     reference ``.pth`` (converted via utils/convert).
     """
-    if path.endswith((".pth", ".pt", ".bin", ".safetensors")):
-        from ..utils.convert import load_torch_checkpoint
-        from ..utils.pretrained import _load_state_dict
-
-        if path.endswith(".safetensors"):
-            sd = _load_state_dict(path)
-            return load_torch_checkpoint(sd, model, num_classes)
-        return load_torch_checkpoint(path, model, num_classes)
+    if path.endswith(TORCH_CKPT_EXTS):
+        params, model_state, _ = _load_torch_weights(path, model, num_classes)
+        return params, model_state
     from ..train.checkpoint import load_params
 
     restored = load_params(path)
@@ -287,24 +313,13 @@ def init(
         model = get_model(mt, num_classes)
         image_size = get_image_size(_SERVE_TYPE_ALIASES.get(mt, mt))
 
-    if weights.endswith((".pth", ".pt", ".bin", ".safetensors")):
+    if weights.endswith(TORCH_CKPT_EXTS):
         # reference torch checkpoints: MoE/TreeViT member counts live in the
-        # state dict, not the config — rebuild the model to match before
-        # converting (member_overrides is {} for ViT/ResNet)
-        from ..utils.convert import (_normalize_ckpt, load_torch_checkpoint,
-                                     member_overrides)
-
-        if weights.endswith(".safetensors"):
-            from ..utils.pretrained import _load_state_dict
-
-            ckpt = _load_state_dict(weights)
-        else:
-            ckpt = _normalize_ckpt(weights)
-        mt_full = _SERVE_TYPE_ALIASES.get(mt, mt)
-        overrides = member_overrides(ckpt, mt_full)
-        if overrides:
-            model = create_model(mt_full, num_classes=num_classes, **overrides)
-        params, model_state = load_torch_checkpoint(ckpt, model, num_classes)
+        # state dict, not the config — the shared helper rebuilds the model
+        # to match before converting (no-op for ViT/ResNet)
+        params, model_state, model = _load_torch_weights(
+            weights, model, num_classes,
+            model_type=_SERVE_TYPE_ALIASES.get(mt, mt))
     else:
         params, model_state = load_weights(weights, model, num_classes)
     if meta:

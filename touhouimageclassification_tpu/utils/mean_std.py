@@ -33,9 +33,12 @@ def calculate_mean_std(
     # statistics must cover the FULL dataset on every host: pin a
     # single-process view so multi-process JAX doesn't stride-shard the
     # scan (every host then computes — and caches — identical values)
+    # on_error='skip': this path also runs on freshly crawled corpora (the
+    # serve/filter CLIs compute stats before judging) where a few corrupt
+    # files must not abort the run — they are masked out of the statistics
     loader = HostImageLoader(
         index, batch_size=batch_size, canvas=image_size, shuffle=False,
-        drop_last=False, process_shard=(0, 1),
+        drop_last=False, process_shard=(0, 1), on_error="skip",
     )
     mean = np.zeros(3, np.float64)
     std = np.zeros(3, np.float64)
@@ -43,11 +46,15 @@ def calculate_mean_std(
     for batch in loader:
         imgs = batch["image"][batch["mask"]].astype(np.float64) / 255.0  # (b,h,w,3)
         b = imgs.shape[0]
+        if b == 0:
+            continue
         per_image = imgs.reshape(b, -1, 3)
         mean += per_image.mean(axis=(0, 1)) * b
         # reference quirk: average of per-image stds, weighted by batch size
         std += per_image.std(axis=1, ddof=1).mean(axis=0) * b
         n += b
+    if n == 0:
+        raise ValueError(f"no decodable images under {data_dir}")
     mean /= n
     std /= n
     if cache:
