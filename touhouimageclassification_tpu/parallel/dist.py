@@ -30,8 +30,23 @@ def initialize_distributed(
     )
     if not want:
         return False
+    # idempotent: staged CLIs (treevit --stage all) call their per-stage
+    # run() — and therefore this — several times per process, and
+    # jax.distributed.initialize hard-raises on a second call
+    from jax._src import distributed as _jdist
+
+    if getattr(_jdist.global_state, "client", None) is not None:
+        return True
+    # JAX only reads JAX_COORDINATOR_ADDRESS from the environment; the
+    # COORDINATOR_ADDRESS spelling we accept as a trigger must be forwarded
+    # explicitly or initialize() raises "coordinator_address should be
+    # defined"
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
+        coordinator_address=(
+            coordinator_address
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+        ),
         num_processes=num_processes,
         process_id=process_id,
     )

@@ -27,6 +27,23 @@ def create_mesh(
     devices = np.asarray(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_expert
+    if num_data < 1 or num_expert < 1:
+        # e.g. --expert-shards 16 on an 8-device slice: len//16 = 0 would
+        # silently build a zero-device mesh that fails far downstream with a
+        # cryptic device_put error
+        raise ValueError(
+            f"mesh ({num_data} data x {num_expert} expert) needs at least "
+            f"{max(num_expert, 1)} devices, have {len(devices)}")
+    if num_data * num_expert > len(devices):
+        raise ValueError(
+            f"mesh ({num_data} data x {num_expert} expert) = "
+            f"{num_data * num_expert} devices, have {len(devices)}")
+    if num_data * num_expert < len(devices):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh (%d data x %d expert) uses %d of %d devices; the rest idle",
+            num_data, num_expert, num_data * num_expert, len(devices))
     use = devices[: num_data * num_expert].reshape(num_data, num_expert)
     return Mesh(use, (data_axis, expert_axis))
 

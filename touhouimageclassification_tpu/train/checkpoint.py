@@ -79,11 +79,15 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, epoch: int, state: Any, metrics: dict[str, float]) -> None:
+    def save(self, epoch: int, state: Any, metrics: dict) -> None:
+        # scalars coerced to float for best_fn ordering; structured entries
+        # (e.g. the trainer's persisted early-stop state) pass through to
+        # Orbax's JSON metrics intact
         self._mgr.save(
             epoch,
             args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in metrics.items()},
+            metrics={k: (float(v) if isinstance(v, (int, float)) else v)
+                     for k, v in metrics.items()},
         )
 
     def latest_epoch(self) -> int | None:

@@ -70,9 +70,13 @@ def build_loaders(cfg: TrainConfig, out_size: tuple[int, int]):
     train = HostImageLoader(index, tr_idx, batch_size=cfg.global_batch_size,
                             canvas=canvas, shuffle=True, seed=cfg.seed,
                             drop_last=True, canvas_cache=cfg.canvas_cache)
-    val = HostImageLoader(index, va_idx, batch_size=cfg.global_batch_size,
-                          canvas=out_size, shuffle=False, drop_last=False,
-                          canvas_cache=cfg.canvas_cache)
+    # train_split=1.0 leaves no val data: run without a val loader (train
+    # loss drives checkpoint ranking) instead of evaluating an empty set
+    val = None
+    if len(va_idx):
+        val = HostImageLoader(index, va_idx, batch_size=cfg.global_batch_size,
+                              canvas=out_size, shuffle=False, drop_last=False,
+                              canvas_cache=cfg.canvas_cache)
     test = None
     if cfg.test_dir and os.path.isdir(cfg.test_dir):
         t_index = scan_image_folder(cfg.test_dir)
@@ -173,19 +177,27 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
     return dataclasses.replace(cfg, **over) if over else cfg
 
 
+def init_distributed_from_args(args) -> bool:
+    """Multi-host init from the standard CLI flags / env vars.
+
+    Unconditional and idempotent: initialize_distributed self-gates on its
+    args OR the JAX_COORDINATOR_ADDRESS env var (gating on --coordinator
+    alone would silently run N independent single-process trainings when
+    the user launches via the env var). CLIs that touch the backend BEFORE
+    calling ``run`` — e.g. ``load_pretrained_backbone``'s Orbax restore
+    initializes XLA — must call this first; ``run`` calls it again
+    harmlessly."""
+    from ..parallel.dist import initialize_distributed
+
+    return initialize_distributed(getattr(args, "coordinator", None),
+                                  getattr(args, "num_processes", None),
+                                  getattr(args, "process_id", None))
+
+
 def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
         init_params=None) -> Trainer:
     """The common --transform/--test/fit flow."""
-    # unconditional: initialize_distributed self-gates on its args OR the
-    # JAX_COORDINATOR_ADDRESS env var (gating here on --coordinator alone
-    # would silently run N independent single-process trainings when the
-    # user launches via the env var). Must run before anything touches the
-    # backend (Trainer below does).
-    from ..parallel.dist import initialize_distributed
-
-    initialize_distributed(getattr(args, "coordinator", None),
-                           getattr(args, "num_processes", None),
-                           getattr(args, "process_id", None))
+    init_distributed_from_args(args)
     cfg = resolve_normalize_stats(cfg)
     trainer = Trainer(cfg, model=model, task=task, param_filter=param_filter,
                       init_params=init_params)
@@ -200,10 +212,23 @@ def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
         # --test semantics, TIC/ResMoE/train.py:183-185)
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
         state = trainer.init_state(train.steps_per_epoch())
-        if ckpt.latest_epoch() is not None:
-            state = ckpt.restore(state)
+        if ckpt.latest_epoch() is None:
+            # evaluating scratch init would print a chance-level score as if
+            # it were the trained model's — fail like fit's explicit-restore
+            ckpt.close()
+            raise FileNotFoundError(
+                f"--test: no checkpoint for run {cfg.train_id!r} under "
+                f"{cfg.checkpoint}")
+        state = ckpt.restore(state)
         ckpt.close()
         trainer.state = state
+        if test is None:
+            if val is None:
+                raise ValueError(
+                    f"--test: test_dir {cfg.test_dir!r} not found and "
+                    "train_split leaves no validation data to fall back on")
+            print(f"--test: test_dir {cfg.test_dir!r} not found; evaluating "
+                  "the VALIDATION split instead")
         result = trainer.test(test if test is not None else val)
         print(result)
         return trainer

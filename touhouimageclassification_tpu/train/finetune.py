@@ -14,7 +14,8 @@ import dataclasses
 from ..config import PRESETS, vit_config
 from ..models.vit import ViT
 from ..utils.pretrained import load_pretrained_backbone
-from .cli import apply_overrides, run, standard_argparser
+from .cli import (apply_overrides, init_distributed_from_args, run,
+                  standard_argparser)
 
 
 def main(argv=None, preset: str = "finetune_vit_base"):
@@ -23,6 +24,9 @@ def main(argv=None, preset: str = "finetune_vit_base"):
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
     args = parser.parse_args(argv)
+    # before load_pretrained_backbone below: its Orbax restore initializes
+    # the XLA backend, after which multi-host init hard-fails
+    init_distributed_from_args(args)
 
     cfg = apply_overrides(PRESETS[preset], args)
     from .cli import dataset_num_classes

@@ -40,12 +40,21 @@ class MoETask(ClassificationTask):
 
 
 class _TreeTaskBase(ClassificationTask):
-    """Shared plumbing: category map (class idx -> category idx) as a static
-    device array for relabeling/routing."""
+    """Shared plumbing: category map (class idx -> category idx) for
+    relabeling/routing."""
 
     def __init__(self, cfg: TreeViTConfig, class_to_category: np.ndarray):
         self.cfg = cfg
-        self.class_to_category = jnp.asarray(class_to_category, jnp.int32)
+        # numpy, NOT jnp: tasks are constructed before run() calls
+        # initialize_distributed, and a constructor-time jnp.asarray would
+        # initialize the XLA backend too early for multi-host launches
+        # (CLAUDE.md lesson: constants shared by jitted fns stay numpy
+        # until first traced use)
+        self._class_to_category = np.asarray(class_to_category, np.int32)
+
+    @property
+    def class_to_category(self) -> jnp.ndarray:
+        return jnp.asarray(self._class_to_category)
 
 
 class TreeRootTask(_TreeTaskBase):

@@ -412,7 +412,13 @@ class Trainer:
         loss_sum, correct, total = (float(totals[0]), int(totals[1]),
                                     int(totals[2]))
         if total == 0:
-            return {"val_loss": float("nan"), "val_acc": 0.0}
+            # a NaN val_loss would flow into the checkpoint metrics and
+            # corrupt best-k retention/best_step selection — fail loudly
+            # (every process computes the same global total, so a multi-host
+            # run raises on all hosts together)
+            raise ValueError(
+                "evaluate: no valid samples (empty val split or every "
+                "image masked); check train_split/data_dir")
         return {"val_loss": loss_sum / total, "val_acc": correct / total}
 
     def fit(self, train_loader, val_loader=None, resume: bool | str = True):
@@ -421,6 +427,18 @@ class Trainer:
         steps_per_epoch = train_loader.steps_per_epoch()
         if cfg.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+        k = max(1, cfg.steps_per_call)
+        if k > 1 and steps_per_epoch % k:
+            # the stacked iterator consumes whole k-groups; say so instead of
+            # silently training fewer steps than the epoch accounting claims
+            # (drop_last guarantees divisibility by batch_size, not by k)
+            dropped = steps_per_epoch % k
+            self.logger.warning(
+                "steps_per_call=%d does not divide %d steps/epoch: the last "
+                "%d batch(es) of every epoch are dropped (drop_last-style; "
+                "reshuffled each epoch)", k, steps_per_epoch, dropped,
+            )
+            steps_per_epoch -= dropped
         self.state = self.init_state(steps_per_epoch)
         ckpt = CheckpointManager(cfg.checkpoint, cfg.train_id)
         # Mid-epoch preemption checkpoints live in a `<run>_partial` sibling
@@ -461,6 +479,7 @@ class Trainer:
 
         start_epoch = 0
         resume_offset = 0
+        es_meta: dict | None = None  # early-stop state of the resumed ckpt
         if isinstance(resume, str) and resume:
             # --restore <path>: restore from an explicit checkpoint dir
             # (reference ckpt_path semantics) while new saves go to the
@@ -473,6 +492,7 @@ class Trainer:
                 src.restore(self.state), self.mesh, cfg.mesh.expert_axis
             )
             start_epoch = int(src.latest_epoch())
+            es_meta = src.metrics(start_epoch)
             src.close()
             self.logger.info("Restored %s (epoch %d)", resume, start_epoch)
             purge_partial()  # explicit restore starts a new lineage
@@ -505,6 +525,7 @@ class Trainer:
                 )
                 start_epoch = p_epoch
                 resume_offset = int(meta.get("steps_done", 0))
+                es_meta = meta
                 self.logger.info(
                     "Resumed mid-epoch %d at batch %d (preemption "
                     "checkpoint, global step %d)",
@@ -522,6 +543,7 @@ class Trainer:
                     ckpt.restore(self.state), self.mesh, cfg.mesh.expert_axis
                 )
                 start_epoch = int(full_epoch)
+                es_meta = ckpt.metrics(start_epoch)
                 self.logger.info("Resumed from epoch %d", start_epoch)
                 if meta is not None:
                     purge_partial()  # older than the full save: stale
@@ -530,13 +552,31 @@ class Trainer:
         else:
             purge_partial()  # resume=False: fresh lineage
 
-        k = max(1, cfg.steps_per_call)
         train_step = self._make_train_scan(k) if k > 1 else self._make_train_step()
         history: list[dict] = []
         best = -math.inf if cfg.early_stop_mode == "max" else math.inf
         since_best = 0
         sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
         timeline: list[float] = []
+        # early-stop state travels WITH the checkpoint: a resumed run must
+        # remember how long the metric has stagnated, or it trains up to
+        # `patience` extra epochs vs the uninterrupted control
+        es = (es_meta or {}).get("early_stop") or {}
+        if es:
+            timeline = [float(x) for x in es.get("timeline", [])]
+            if es.get("best") is not None:
+                best = float(es["best"])
+            since_best = int(es.get("since_best", 0))
+
+        def _es_state() -> dict:
+            state = {
+                "since_best": since_best,
+                # window_early_exit only looks at the last patience+1 entries
+                "timeline": timeline[-(cfg.early_stop_patience + 1):],
+            }
+            if math.isfinite(best):
+                state["best"] = best
+            return state
 
         # Preemption safety: TPU VMs receive SIGTERM on maintenance events /
         # spot reclaim. Checkpoint at the next step boundary and stop
@@ -626,7 +666,10 @@ class Trainer:
                         partial_mgr().save(
                             gstep, self._saveable_state(),
                             {"epoch_index": float(epoch),
-                             "steps_done": float(done)},
+                             "steps_done": float(done),
+                             # mid-epoch state == state after the last
+                             # COMPLETED epoch; resume restores it
+                             "early_stop": _es_state()},
                         )
                         partial_mgr().wait()
                         self.logger.info(
@@ -655,6 +698,25 @@ class Trainer:
                 history.append(record)
 
                 metric_key = cfg.early_stop_monitor
+                # update early-stop state BEFORE the save so it is persisted
+                # with the checkpoint it describes; the stop itself happens
+                # after the save (this epoch's checkpoint is still written,
+                # as before)
+                stop = False
+                if metric_key in record:
+                    cur = record[metric_key]
+                    if cfg.early_stop_window:
+                        timeline.append(cur)
+                        stop = window_early_exit(
+                            timeline, cfg.early_stop_patience,
+                            cfg.early_stop_mode)
+                    elif sign * cur > sign * best:
+                        best = cur
+                        since_best = 0
+                    else:
+                        since_best += 1
+                        stop = bool(cfg.early_stop_patience
+                                    and since_best >= cfg.early_stop_patience)
                 metrics_for_ckpt = {
                     k: v for k, v in record.items() if isinstance(v, (int, float))
                 }
@@ -671,31 +733,15 @@ class Trainer:
                         fallback = (-math.inf if cfg.checkpoint.mode == "max"
                                     else math.inf)
                     metrics_for_ckpt[cfg.checkpoint.monitor] = fallback
+                metrics_for_ckpt["early_stop"] = _es_state()
                 ckpt.save(epoch + 1, self._saveable_state(), metrics_for_ckpt)
 
-                if metric_key in record:
-                    cur = record[metric_key]
-                    if cfg.early_stop_window:
-                        timeline.append(cur)
-                        if window_early_exit(timeline, cfg.early_stop_patience,
-                                             cfg.early_stop_mode):
-                            self.logger.info(
-                                "%s has not improved for %d epochs. "
-                                "Stopping training.", metric_key,
-                                cfg.early_stop_patience,
-                            )
-                            break
-                    elif sign * cur > sign * best:
-                        best = cur
-                        since_best = 0
-                    else:
-                        since_best += 1
-                        if cfg.early_stop_patience and since_best >= cfg.early_stop_patience:
-                            self.logger.info(
-                                "%s has not improved for %d epochs. Stopping training.",
-                                metric_key, cfg.early_stop_patience,
-                            )
-                            break
+                if stop:
+                    self.logger.info(
+                        "%s has not improved for %d epochs. Stopping training.",
+                        metric_key, cfg.early_stop_patience,
+                    )
+                    break
         finally:
             if handler_installed:
                 # prev may be None for a handler installed outside Python

@@ -108,14 +108,23 @@ def main(argv=None):
     stages = ["root", "sons", "full"] if args.stage == "all" else [args.stage]
     task_cls = {"root": TreeRootTask, "sons": TreeSonsTask, "full": TreeFullTask}
     prev_params = None
-    for stage in stages:
+    for i, stage in enumerate(stages):
         cfg = dataclasses.replace(
             base_cfg,
             train_id=f"{base_cfg.train_id}_{stage}",
             max_epochs=base_cfg.max_epochs,
         )
+        stage_args = args
+        if i > 0 and args.restore:
+            # an explicit --restore seeds only the FIRST stage; re-restoring
+            # it in every stage would clobber the prev_params chaining and
+            # train stages 2+ from the wrong parameters
+            import argparse as _ap
+
+            stage_args = _ap.Namespace(**vars(args))
+            stage_args.restore = None
         print(f"=== TreeViT stage: {stage} ===")
-        trainer = run(cfg, args, model=model,
+        trainer = run(cfg, stage_args, model=model,
                       task=task_cls[stage](tree_cfg, class_to_category),
                       param_filter=_mask_for_stage(stage),
                       init_params=prev_params)
