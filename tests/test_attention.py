@@ -392,3 +392,28 @@ def test_slab_under_vmap_matches_reference(monkeypatch):
         x[..., :c], x[..., c:2 * c], x[..., 2 * c:], 4), q))(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_partition_agrees_on_one_batch_sharding(monkeypatch):
+    """Operands arriving with DISAGREEING dim-0 shardings (q batch-sharded,
+    k/v replicated — GSPMD is free to propose this) must be reconciled to
+    ONE batch sharding before the per-shard kernel runs; per-operand
+    shardings would pair each shard's local q rows with the other operands'
+    global rows and return silently wrong values."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from touhouimageclassification_tpu.ops.attention import (
+        _reference_attention, flash_attention)
+
+    monkeypatch.setenv("TIC_PALLAS_INTERPRET", "1")
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    q, k, v = _qkv(b=16, n=67, h=4, d=32, seed=33)
+    batch = NamedSharding(mesh, P("data", None, None, None))
+    repl = NamedSharding(mesh, P(None, None, None, None))
+
+    fwd = jax.jit(flash_attention,
+                  in_shardings=(batch, repl, repl))
+    out = fwd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_reference_attention(q, k, v)),
+                               atol=2e-5, rtol=1e-5)

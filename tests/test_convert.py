@@ -353,7 +353,7 @@ def test_treevit_logit_parity():
         t_comb = ttree(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         t_choice = ttree.root(torch.from_numpy(x.transpose(0, 3, 1, 2))
                               ).logits.numpy()
-    f_comb, f_choice = ftree.apply({"params": params}, x, True)
+    f_comb, f_choice, _ = ftree.apply({"params": params}, x, True)
     np.testing.assert_allclose(np.asarray(f_choice), t_choice,
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(f_comb), t_comb,

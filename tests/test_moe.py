@@ -147,12 +147,12 @@ def test_treevit_forward_and_grads():
     ), compute_dtype="float32")
     x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
     params = model.init(jax.random.key(1), x)
-    combined, choice = model.apply(params, x)
+    combined, choice, kept = model.apply(params, x)
     assert combined.shape == (4, 6)
     assert choice.shape == (4, 3)
 
     def loss_fn(p):
-        c, ch = model.apply(p, x)
+        c, ch, _ = model.apply(p, x)
         return jnp.sum(c ** 2) + jnp.sum(ch ** 2)
 
     g = jax.jit(jax.grad(loss_fn))(params)
@@ -165,5 +165,44 @@ def test_treevit_jits():
     x = jnp.ones((2, 16, 16, 3))
     params = model.init(jax.random.key(0), x)
     fn = jax.jit(lambda p, x: model.apply(p, x))
-    combined, choice = fn(params, x)
+    combined, choice, _kept = fn(params, x)
     assert combined.shape == (2, 4)
+
+
+def test_treevit_capacity_drop_masked_and_renormalized():
+    """Over-capacity samples: fully-dropped ones report kept=0 (the staged
+    trainer masks them out of the loss); partially-dropped ones are
+    renormalized; no-drop batches report kept==1 and match the reference
+    combine exactly."""
+    from touhouimageclassification_tpu.train.tasks import TreeSonsTask
+    from touhouimageclassification_tpu.config import TreeViTConfig
+
+    # tiny capacity: B=4, K=1, S=2, factor 0.5 -> capacity 1 per son
+    cfg = TreeViTConfig(num_categories=2, num_classes=4, top_k=1,
+                        capacity_factor=0.5, vit=TINY_VIT)
+    model = TreeViT(cfg, compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+    # teacher-force every sample to son 0: capacity 1 keeps exactly one
+    route = jnp.zeros((4,), jnp.int32)
+    combined, _choice, kept = model.apply(params, x, True,
+                                          route_labels=route)
+    assert int(jnp.sum(kept > 0)) == 1, "capacity 1 keeps one sample"
+    dropped = np.asarray(kept) == 0
+    assert not np.asarray(combined)[dropped].any(), "dropped -> zero logits"
+
+    # the loss must ignore the dropped samples (finite, driven by the kept
+    # one) and report the drop fraction
+    task = TreeSonsTask(cfg, np.array([0, 0, 1, 1], np.int32))
+    labels = jax.nn.one_hot(jnp.array([0, 1, 2, 3]), 4)
+    loss, aux = task.loss((combined, _choice, kept), labels)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(aux["dropped_frac"]), 0.75)
+
+    # ample capacity: kept mass is exactly 1 for every sample
+    cfg2 = TreeViTConfig(num_categories=2, num_classes=4, top_k=2,
+                         capacity_factor=8.0, vit=TINY_VIT)
+    model2 = TreeViT(cfg2, compute_dtype="float32")
+    params2 = model2.init(jax.random.key(2), x)
+    _c, _ch, kept2 = model2.apply(params2, x)
+    np.testing.assert_allclose(np.asarray(kept2), 1.0, atol=1e-6)

@@ -67,3 +67,69 @@ def test_vit_pallas_patch_embed_shares_param_tree():
     a = m_x.apply(params, x)
     b = m_p.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_patch_embed_partitions_over_batch_mesh():
+    """Same SPMD obligation as the attention kernels: on a batch-sharded
+    mesh the custom call must run per-shard (no all-gather of the image
+    batch), keep the output batch-sharded, and match the XLA math."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from touhouimageclassification_tpu.ops.patch_embed import pallas_patch_embed
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device CPU mesh"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    imgs = jax.random.normal(jax.random.key(0), (16, 32, 32, 3))
+    kernel = jax.random.normal(jax.random.key(1), (16 * 16 * 3, 64)) * 0.02
+    bias = jax.random.normal(jax.random.key(2), (64,)) * 0.1
+    sharded = jax.device_put(
+        imgs, NamedSharding(mesh, P("data", None, None, None)))
+
+    fwd = jax.jit(lambda i, k, b: pallas_patch_embed(i, k, b, 16))
+    out = fwd(sharded, kernel, bias)
+    x = imgs.reshape(16, 2, 16, 2, 16, 3).transpose(
+        0, 1, 3, 2, 4, 5).reshape(16, 4, -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ kernel + bias),
+                               atol=1e-5, rtol=1e-5)
+    assert out.sharding.spec[0] == "data", out.sharding
+    hlo = fwd.lower(sharded, kernel, bias).compile().as_text()
+    assert not re.search("all-gather|all-to-all", hlo), "image batch gathered"
+
+
+def test_pallas_patch_embed_under_vmap():
+    """nn.vmap'd experts: shared weights flatten into the kernel batch;
+    per-expert weights fall back to the XLA math — both must match vmapping
+    the reference."""
+    from touhouimageclassification_tpu.ops.patch_embed import pallas_patch_embed
+
+    imgs = jax.random.normal(jax.random.key(0), (4, 2, 32, 32, 3))
+    k_shared = jax.random.normal(jax.random.key(1), (16 * 16 * 3, 32)) * 0.02
+    b_shared = jax.random.normal(jax.random.key(2), (32,)) * 0.1
+    k_exp = jax.random.normal(jax.random.key(3), (4, 16 * 16 * 3, 32)) * 0.02
+    b_exp = jax.random.normal(jax.random.key(4), (4, 32)) * 0.1
+
+    def ref(i, k, b):
+        x = i.reshape(2, 2, 16, 2, 16, 3).transpose(
+            0, 1, 3, 2, 4, 5).reshape(2, 4, -1)
+        return x @ k + b
+
+    out_shared = jax.vmap(
+        lambda i: pallas_patch_embed(i, k_shared, b_shared, 16))(imgs)
+    np.testing.assert_allclose(
+        np.asarray(out_shared),
+        np.asarray(jax.vmap(lambda i: ref(i, k_shared, b_shared))(imgs)),
+        atol=1e-5, rtol=1e-5)
+
+    out_exp = jax.vmap(
+        lambda i, k, b: pallas_patch_embed(i, k, b, 16))(imgs, k_exp, b_exp)
+    np.testing.assert_allclose(
+        np.asarray(out_exp), np.asarray(jax.vmap(ref)(imgs, k_exp, b_exp)),
+        atol=1e-5, rtol=1e-5)
+
+    # gradients flow through both vmap branches
+    g = jax.grad(lambda i: jnp.sum(jax.vmap(
+        lambda im, k, b: pallas_patch_embed(im, k, b, 16)
+    )(i, k_exp, b_exp) ** 2))(imgs)
+    assert np.isfinite(np.asarray(g)).all()

@@ -118,12 +118,13 @@ class ViTConfig:
     # train-step progression) with an XLA fallback off-TPU and when
     # attention_dropout_rate > 0; SPMD-partitionable over a batch-sharded
     # mesh (custom_partitioning, ops/attention.py).
-    # 'flash' = legacy (B,N,H,D) Pallas kernel — single-device only (no
-    # partitioning rule; a sharded mesh would all-gather its operands);
+    # 'flash' = legacy (B,N,H,D) Pallas kernel, also mesh-safe since round 3
+    # (same custom_partitioning + custom_vmap wrapping as the slab kernels);
     # 'xla' = plain dot-product, 'xla_remat' = XLA with recomputed-backward
     # attention (both partition natively).
     attention_impl: str = "fused"
-    # fused Pallas patch-embed kernel toggle
+    # fused Pallas patch-embed kernel toggle ('pallas' is SPMD- and
+    # vmap-safe too: batch-dim custom_partitioning, ops/patch_embed.py)
     patch_embed_impl: str = "xla"
     # rematerialize encoder layers in backward (jax.checkpoint): trades ~30%
     # extra FLOPs for O(layers) activation memory, enabling much larger

@@ -9,11 +9,16 @@ TPU-native design: the per-sample loop (``model.py:19-22`` — data-dependent
 Python control flow, unjittable) becomes the same capacity-based dispatch
 used by sparse MoE: sons are one stacked module, chosen samples are gathered
 per son, computed in one vmapped forward, and combined with a segment-sum.
-Identical math, static shapes, one XLA program.
+Static shapes, one XLA program. The math matches the reference UP TO
+capacity: a son's over-capacity assignments are dropped (the reference's
+dynamic loop never drops). The combine is renormalized over the surviving
+weight mass so partially-dropped samples keep reference scale, and the
+per-sample surviving mass is returned so the trainer can mask fully-dropped
+samples out of the loss instead of training on all-zero logits.
 
-Returns ``(combined_logits, root_choice_logits)`` — the root logits feed the
-staged curriculum trainer (root trained on category labels first,
-``TIC/TreeViT/train.py``).
+Returns ``(combined_logits, root_choice_logits, kept_mass)`` — the root
+logits feed the staged curriculum trainer (root trained on category labels
+first, ``TIC/TreeViT/train.py``).
 """
 from __future__ import annotations
 
@@ -71,7 +76,12 @@ class TreeViT(nn.Module):
             xs, deterministic
         )                                                      # (S, C, classes)
         combined = md.combine(plan, son_logits.astype(jnp.float32), smoothed, b)
-        return combined, choice
+        kept = md.kept_mass(plan, smoothed, b)                 # (B,)
+        # renormalize over the surviving weight mass: a sample that lost one
+        # of its top-k copies to capacity keeps reference-scale logits
+        # (weights re-softmaxed over survivors); fully-dropped stays 0
+        combined = combined / jnp.maximum(kept, 1e-9)[:, None]
+        return combined, choice, kept
 
 
 def make_tree_vit(num_categories: int, num_classes: int, top_k: int = 2) -> TreeViT:

@@ -261,9 +261,13 @@ BWD_HEAD_GROUP = 8  # the backward holds ~5 (G, N, N) f32 intermediates in
                     # limit inside the train step — two groups of 8 fit
 
 
-def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                       num_heads: int, scale: float):
-    q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+def _packed_bwd_kernel_body(q, k, v, g, *, num_heads: int, scale: float):
+    """Shared grouped-head backward: (N, C) lanes -> (dq, dk, dv) in f32.
+
+    Softmax recomputed per head group (probs never hit HBM); heads
+    processed BWD_HEAD_GROUP at a time so the ~5 (G, N, N) f32
+    intermediates fit scoped VMEM. Used by both the sliced kernel (three
+    operands/outputs) and the slab kernel (one fused operand/gradient)."""
     hd = q.shape[-1] // num_heads
     dqs, dks, dvs = [], [], []
     for h0 in range(0, num_heads, BWD_HEAD_GROUP):
@@ -299,9 +303,17 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         ))
     cat = lambda xs: jnp.concatenate(
         [x[i] for x in xs for i in range(x.shape[0])], axis=-1)
-    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
-    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
-    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+    return cat(dqs), cat(dks), cat(dvs)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                       num_heads: int, scale: float):
+    dq, dk, dv = _packed_bwd_kernel_body(
+        q_ref[0], k_ref[0], v_ref[0], g_ref[0],
+        num_heads=num_heads, scale=scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _packed_forward_impl(q, k, v, num_heads):
@@ -471,45 +483,10 @@ def _slab_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int,
                      scale: float):
     qkv, g = qkv_ref[0], g_ref[0]
     c = qkv.shape[-1] // 3
-    q, k, v = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
-    hd = c // num_heads
-    dqs, dks, dvs = [], [], []
-    for h0 in range(0, num_heads, BWD_HEAD_GROUP):
-        heads = list(range(h0, min(h0 + BWD_HEAD_GROUP, num_heads)))
-        st = lambda x: jnp.stack(
-            [x[:, h * hd:(h + 1) * hd] for h in heads], axis=0)  # (G, N, D)
-        qh, kh, vh, gh = st(q), st(k), st(v), st(g)
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, N, N) f32
-        dp = jax.lax.dot_general(
-            gh, vh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds_c = ds.astype(k.dtype)
-        p_c = p.astype(g.dtype)
-        dqs.append(jax.lax.dot_general(
-            ds_c, kh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale)
-        dks.append(jax.lax.dot_general(
-            ds_c, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale)
-        dvs.append(jax.lax.dot_general(
-            p_c, gh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ))
-    cat = lambda xs: jnp.concatenate(
-        [x[i] for x in xs for i in range(x.shape[0])], axis=-1)
-    dqkv_ref[0] = jnp.concatenate(
-        [cat(dqs), cat(dks), cat(dvs)], axis=-1
-    ).astype(dqkv_ref.dtype)
+    dq, dk, dv = _packed_bwd_kernel_body(
+        qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:], g,
+        num_heads=num_heads, scale=scale)
+    dqkv_ref[0] = jnp.concatenate([dq, dk, dv], axis=-1).astype(dqkv_ref.dtype)
 
 
 def _slab_forward_impl(qkv, num_heads):
@@ -574,11 +551,19 @@ def _dim0_only(mesh, sharding, rank):
 
 
 def _def_batch_partition(cp, raw_fn, rule, **factor_kw):
-    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+    def _best_batch_sharding(arg_shapes):
+        """ONE agreed dim-0 sharding for every operand: the kernels pair
+        operand rows elementwise over the batch, so per-operand dim-0
+        shardings that disagree (e.g. q sharded, k/v replicated) would make
+        each shard pair its local q rows with the other operands' GLOBAL
+        rows — silently wrong outputs, no shape error."""
         shardings = [a.sharding for a in arg_shapes]
-        best = next((s for s in shardings
+        return next((s for s in shardings
                      if getattr(s, "spec", None) and len(s.spec) > 0
                      and s.spec[0] is not None), shardings[0])
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        best = _best_batch_sharding(arg_shapes)
         return jax.tree_util.tree_map(
             lambda r: _dim0_only(mesh, best, len(r.shape)), result_shape)
 
@@ -587,11 +572,11 @@ def _def_batch_partition(cp, raw_fn, rule, **factor_kw):
             lambda u: _dim0_only(mesh, u.sharding, len(u.shape)), user_shape)
 
     def partition(mesh, arg_shapes, result_shape):
+        best = _best_batch_sharding(arg_shapes)
         arg_shardings = tuple(
-            _dim0_only(mesh, a.sharding, len(a.shape)) for a in arg_shapes)
+            _dim0_only(mesh, best, len(a.shape)) for a in arg_shapes)
         result_shardings = jax.tree_util.tree_map(
-            lambda r: _dim0_only(mesh, arg_shardings[0], len(r.shape)),
-            result_shape)
+            lambda r: _dim0_only(mesh, best, len(r.shape)), result_shape)
 
         return mesh, raw_fn, result_shardings, arg_shardings
 

@@ -138,7 +138,10 @@ def _grayscale(images: jax.Array) -> jax.Array:
 
 
 def _adjust_brightness(images, factor):
-    return images * factor[:, None, None, None]
+    # torchvision's _blend clamps after EVERY adjust op (not once at the
+    # end): an op that saturates must feed the clamped value into the next
+    # op's blend/means, or bright regions diverge from the reference
+    return jnp.clip(images * factor[:, None, None, None], 0.0, 1.0)
 
 
 def _adjust_contrast(images, factor):
@@ -148,13 +151,13 @@ def _adjust_contrast(images, factor):
         axis=(1, 2), keepdims=True,
     )[..., None]
     f = factor[:, None, None, None]
-    return images * f + mean * (1.0 - f)
+    return jnp.clip(images * f + mean * (1.0 - f), 0.0, 1.0)
 
 
 def _adjust_saturation(images, factor):
     gray = _grayscale(images)
     f = factor[:, None, None, None]
-    return images * f + gray * (1.0 - f)
+    return jnp.clip(images * f + gray * (1.0 - f), 0.0, 1.0)
 
 
 def _rgb_to_hsv(rgb):

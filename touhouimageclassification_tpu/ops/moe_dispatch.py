@@ -69,6 +69,16 @@ def dispatch(plan: DispatchPlan, x: jax.Array) -> jax.Array:
     return x[plan.gather_idx]
 
 
+def kept_mass(plan: DispatchPlan, weights: jax.Array, batch: int) -> jax.Array:
+    """Per-sample combine mass that survived capacity: (B,) in [0, 1].
+
+    0 means every routed copy of the sample was capacity-dropped (its
+    ``combine`` output is all-zero); consumers that must not train/score on
+    dropped samples (TreeViT) mask or renormalize with this."""
+    w = weights.reshape(-1) * plan.flat_keep
+    return jax.ops.segment_sum(w, plan.flat_sample, num_segments=batch)
+
+
 def combine(
     plan: DispatchPlan,
     expert_outputs: jax.Array,   # (E, C, D)

@@ -13,10 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jax.Array, soft_targets: jax.Array) -> jax.Array:
-    """Mean CE over the batch; targets are probabilities summing to 1."""
+def _weighted_mean(per_sample: jax.Array, w: jax.Array | None) -> jax.Array:
+    if w is None:
+        return jnp.mean(per_sample)
+    w = w.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def cross_entropy(logits: jax.Array, soft_targets: jax.Array,
+                  sample_weights: jax.Array | None = None) -> jax.Array:
+    """Mean CE over the batch; targets are probabilities summing to 1.
+    ``sample_weights`` (B,) turns it into a weighted mean (TreeViT masks
+    capacity-dropped samples with it)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.sum(soft_targets * logp, axis=-1))
+    return _weighted_mean(-jnp.sum(soft_targets * logp, axis=-1),
+                          sample_weights)
 
 
 def accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array | None = None):
@@ -32,17 +43,18 @@ def accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array | None = None
 
 
 def symmetric_cross_entropy(
-    logits: jax.Array, targets: jax.Array, alpha: float = 0.1, beta: float = 1.0
+    logits: jax.Array, targets: jax.Array, alpha: float = 0.1,
+    beta: float = 1.0, sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """SCE as in ``TIC/ResMoE/train.py:21-24``: alpha*CE(logits, targets) +
     beta*reverse-CE. The reference computes the reverse term as
     -sum(softmax(logits) * log_softmax(targets)); with one-hot targets
     log_softmax of the one-hot is what the reference feeds, so we reproduce
     that exact formulation."""
-    ce = cross_entropy(logits, targets)
+    ce = cross_entropy(logits, targets, sample_weights)
     log_t = jax.nn.log_softmax(targets.astype(jnp.float32), axis=-1)
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    rce = -jnp.mean(jnp.sum(p * log_t, axis=-1))
+    rce = _weighted_mean(-jnp.sum(p * log_t, axis=-1), sample_weights)
     return alpha * ce + beta * rce
 
 

@@ -62,7 +62,7 @@ class TreeRootTask(_TreeTaskBase):
     optimizer mask (see ``train/treevit.py``)."""
 
     def loss(self, outputs, soft_labels):
-        _combined, choice = outputs
+        choice = outputs[1]
         # map class one-hots to category one-hots: matmul with the 0/1 map
         n_cat = int(self.cfg.num_categories)
         cat_map = jnp.zeros((soft_labels.shape[-1], n_cat), soft_labels.dtype)
@@ -98,8 +98,7 @@ class TreeSonsTask(_TreeTaskBase):
         return out, {}
 
     def loss(self, outputs, soft_labels):
-        combined, _choice = outputs
-        return losses.symmetric_cross_entropy(combined, soft_labels), {}
+        return _tree_combined_loss(outputs, soft_labels)
 
     def logits(self, outputs):
         return outputs[0]
@@ -109,8 +108,19 @@ class TreeFullTask(_TreeTaskBase):
     """Stage 3: end-to-end on class labels through root routing."""
 
     def loss(self, outputs, soft_labels):
-        combined, _choice = outputs
-        return losses.symmetric_cross_entropy(combined, soft_labels), {}
+        return _tree_combined_loss(outputs, soft_labels)
 
     def logits(self, outputs):
         return outputs[0]
+
+
+def _tree_combined_loss(outputs, soft_labels):
+    combined, _choice, kept = outputs
+    # samples whose every routed copy was capacity-dropped carry no signal:
+    # mask them out of the loss instead of training on all-zero logits (the
+    # reference's dynamic loop computes every sample; drops are the price of
+    # static shapes, surfaced here as a metric)
+    w = (kept > 0).astype(jnp.float32)
+    sce = losses.symmetric_cross_entropy(combined, soft_labels,
+                                         sample_weights=w)
+    return sce, {"dropped_frac": 1.0 - jnp.mean(w)}
