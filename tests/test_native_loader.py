@@ -356,3 +356,60 @@ def test_decode_batch_rejects_bad_buffers(jpgs):
         jpgs, (32, 32), out=np.empty((n, 32, 32, 3), np.uint8),
         failed=np.zeros(n, np.uint8))
     assert failures == 0 and out.any()
+
+
+def test_stale_marker_consumed_by_fresh_rebuild(tmp_path):
+    """A dead writer's dirty marker must be consumed even when the .data
+    file is built fresh — otherwise the marker survives a clean full rebuild
+    and the NEXT process discards the valid fill ('0% warm' again)."""
+    from touhouimageclassification_tpu.data import canvas_cache as cc
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=3,
+                             size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    cache_root = os.path.join(root, ".tic_canvas_cache")
+    os.makedirs(cache_root)
+    # marker from a dead writer, planted BEFORE the first (fresh) build
+    with open(os.path.join(cache_root, "32x32.dirty.999999.0"), "w") as f:
+        f.write("999999")
+    c1 = cc.CanvasCache(index, (32, 32))
+    ids = np.arange(len(index))
+    out = np.empty((len(index), 32, 32, 3), np.uint8)
+    c1.fetch(ids, out)  # all misses
+    from touhouimageclassification_tpu.data.loader import decode_batch_into
+
+    decode_batch_into(list(index.paths), (32, 32), out)
+    c1.store(ids, out)
+    c1.flush()
+    # the stale marker must be gone; a second process sees a warm cache
+    assert not glob.glob(os.path.join(cache_root, "*.dirty*"))
+    c2 = cc.CanvasCache(index, (32, 32))
+    hit = c2.fetch(ids, np.empty_like(out))
+    assert hit.all(), "fresh rebuild was discarded by a stale marker"
+
+
+def test_find_existing_canvas_with_fingerprint(tmp_path):
+    from touhouimageclassification_tpu.data import canvas_cache as cc
+
+    root = make_image_folder(str(tmp_path / "d"), num_classes=2, per_class=2,
+                             size=40)
+    index = scan_image_folder(root, persist_class_map=False)
+    canvas, fp = cc.find_existing_canvas(index, with_fingerprint=True)
+    assert canvas is None and isinstance(fp, str) and fp
+    c = cc.CanvasCache(index, (32, 32), fingerprint=fp)
+    c.flush()
+    canvas2, fp2 = cc.find_existing_canvas(index, with_fingerprint=True)
+    assert canvas2 == (32, 32) and fp2 == fp
+    assert cc.find_existing_canvas(index) == (32, 32)  # plain form unchanged
+
+
+def test_pretrained_rejects_sharded_snapshot(tmp_path):
+    from touhouimageclassification_tpu.utils import pretrained as P
+
+    cand = tmp_path / "models--google--vit-base-patch16-224-in21k"
+    os.makedirs(cand / "snap")
+    for n in ("pytorch_model-00001-of-00002.bin",
+              "pytorch_model-00002-of-00002.bin"):
+        (cand / "snap" / n).write_bytes(b"x")
+    with pytest.raises(ValueError, match="sharded"):
+        P.load_pretrained_backbone("vit-base", 3, cache_dir=str(tmp_path))

@@ -262,3 +262,47 @@ def test_init_infers_moe_member_count_from_pth(tmp_path, monkeypatch):
     pred = S.init(modelt="resmoe", weights=str(pth), data_dir=data)
     assert {"num_experts": 3} in seen_overrides
     assert pred.params["experts"]["cls_token"].shape[0] == 3
+
+
+def test_judge_csv_quotes_commas(tmp_path):
+    """full_judge writes with csv.writer and filter reads with DictReader: a
+    comma in a filename must survive the round trip instead of shifting
+    every later column."""
+    import shutil as _sh
+
+    from touhouimageclassification_tpu.infer.filter import filter as tic_filter
+
+    data = make_image_folder(str(tmp_path / "commas"),
+                             num_classes=N_CLASSES, per_class=3, size=32)
+    src = os.path.join(data, "class_00", "0.jpg")
+    _sh.copy(src, os.path.join(data, "class_00", "a,b.jpg"))
+    index = scan_image_folder(data, persist_class_map=False)
+    model = ViT(TINY)
+    params = model.init(jax.random.key(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    predictor = Predictor(
+        model=model, params=params, model_state={},
+        class_to_idx=index.class_to_idx, image_size=(32, 32),
+        mean=np.array([0.5] * 3), std=np.array([0.25] * 3),
+    )
+    out_csv = tmp_path / "judge.csv"
+    full_judge(predictor, data, str(out_csv), batch_size=4, progress=False,
+               canvas_cache="off")
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(out_csv)))
+    assert len(rows) == N_CLASSES * 3 + 1
+    byname = {r["filename"]: r for r in rows}
+    assert "a,b.jpg" in byname
+    r = byname["a,b.jpg"]
+    assert r["actual_class"] == "class_00"
+    assert r["path"].endswith("a,b.jpg")
+    assert r["correct"] in ("True", "False")
+    # and the filter keeps/drops it by the correct column, not a shifted one
+    out_dir = tmp_path / "filtered"
+    tic_filter(str(out_csv), str(out_dir))
+    kept = {p.name for p in out_dir.rglob("*.jpg")}
+    if r["correct"] == "True":
+        assert "a,b.jpg" in kept
+    else:
+        assert "a,b.jpg" not in kept

@@ -92,8 +92,13 @@ def _finalize_clean(data: np.memmap, done: np.memmap, marker: str) -> None:
 
 def find_existing_canvas(index: ImageFolderIndex,
                          min_size: tuple[int, int] | None = None,
-                         cache_dir: str | None = None) -> tuple[int, int] | None:
+                         cache_dir: str | None = None,
+                         with_fingerprint: bool = False):
     """Canvas size of a VALID existing cache for ``index``, or None.
+
+    ``with_fingerprint=True`` returns ``(canvas_or_None, fingerprint)`` so a
+    caller constructing a CanvasCache right after the probe can hand the
+    fingerprint over instead of re-statting the whole dataset.
 
     Single source of truth for the meta-validity predicate (fingerprint,
     entry count, decoder version, .data present) that ``CanvasCache``'s
@@ -106,6 +111,8 @@ def find_existing_canvas(index: ImageFolderIndex,
     """
     root = cache_dir or os.path.join(index.root, ".tic_canvas_cache")
     if not os.path.isdir(root):
+        if with_fingerprint:
+            return None, _fingerprint(index)
         return None
     fp = _fingerprint(index)
     candidates: list[tuple[int, int]] = []
@@ -125,13 +132,19 @@ def find_existing_canvas(index: ImageFolderIndex,
         candidates = [c for c in candidates
                       if c[0] >= min_size[0] and c[1] >= min_size[1]]
         if tuple(min_size) in candidates:
-            return tuple(min_size)
-    return min(candidates, key=lambda c: c[0] * c[1]) if candidates else None
+            candidates = [tuple(min_size)]
+    best = min(candidates, key=lambda c: c[0] * c[1]) if candidates else None
+    return (best, fp) if with_fingerprint else best
 
 
 class CanvasCache:
     def __init__(self, index: ImageFolderIndex, canvas: tuple[int, int],
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None,
+                 fingerprint: str | None = None):
+        """``fingerprint``: pass the value a just-run ``find_existing_canvas``
+        probe computed to skip re-statting every dataset file (the sweep is
+        ~2 os.stat per image; the judge startup on a 132k-image corpus would
+        otherwise pay it twice)."""
         self.canvas = (int(canvas[0]), int(canvas[1]))
         n = len(index)
         root = cache_dir or os.path.join(index.root, ".tic_canvas_cache")
@@ -142,7 +155,7 @@ class CanvasCache:
         self._dirty_path = os.path.join(root, f"{tag}.dirty")
         meta_path = os.path.join(root, f"{tag}.json")
 
-        fp = _fingerprint(index)
+        fp = fingerprint or _fingerprint(index)
         meta = None
         if os.path.exists(meta_path):
             try:
@@ -187,7 +200,13 @@ class CanvasCache:
         mode = "r+" if os.path.exists(self._done_path) else "w+"
         self.done = np.memmap(self._done_path, dtype=np.uint8, mode=mode,
                               shape=(n,))
-        if data_fresh or self._crashed_dirty():
+        # _crashed_dirty() must run UNCONDITIONALLY (not short-circuited by
+        # data_fresh): it also CONSUMES stale markers from dead writers. A
+        # marker that survives a fresh full rebuild would make the NEXT
+        # process treat the now-valid cache as crash-dirty and re-decode the
+        # whole corpus.
+        crashed = self._crashed_dirty()
+        if data_fresh or crashed:
             # data_fresh: a surviving done-map without its data file (e.g.
             # the ~26 GB .data deleted to reclaim disk) must not mark the
             # zero-filled fresh data as hits. crashed_dirty: a writer died

@@ -62,26 +62,29 @@ def _load():
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError as e:
+            # symbol binding INSIDE the try: a stale prebuilt .so missing a
+            # newer symbol (tic_decode_batch2) must fall back to PIL, not
+            # crash every caller of available() with AttributeError
+            lib.tic_decode_file.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.tic_decode_file.restype = ctypes.c_int
+            lib.tic_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ]
+            lib.tic_decode_batch.restype = ctypes.c_int
+            lib.tic_decode_batch2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.tic_decode_batch2.restype = ctypes.c_int
+        except (OSError, AttributeError) as e:
             print(f"native loader unavailable: {e}")
             _build_failed = True
             return None
-        lib.tic_decode_file.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.tic_decode_file.restype = ctypes.c_int
-        lib.tic_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ]
-        lib.tic_decode_batch.restype = ctypes.c_int
-        lib.tic_decode_batch2.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.tic_decode_batch2.restype = ctypes.c_int
         _lib = lib
         return _lib
 

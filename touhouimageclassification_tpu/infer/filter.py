@@ -77,7 +77,7 @@ def main(argv=None):
     parser.add_argument("--output-directory", "-od", type=str, required=True,
                         help="Root of the filtered ImageFolder to create.")
     parser.add_argument("--model", type=str, default=None,
-                        choices=["resnet", "vit-base", "vit-large"],
+                        choices=serve_mod.MODEL_CHOICES,
                         help="Run this judge over --image before filtering.")
     parser.add_argument("--weights", type=str, default=None)
     parser.add_argument("--image", type=str, default=None,
@@ -107,7 +107,9 @@ def main(argv=None):
     try:
         filter(judge_csv, args.output_directory)
     finally:
-        if not args.csv_file:
+        # exists-guard: a filter() failure must surface, not be masked by a
+        # FileNotFoundError from removing a temp CSV that was never written
+        if not args.csv_file and os.path.exists(judge_csv):
             os.remove(judge_csv)
 
 

@@ -51,6 +51,12 @@ model_checkpoints: dict[str, str] = {
 _SERVE_TYPE_ALIASES = {"resnet": "resnet152", "nvit": "vit-large",
                        "resmoe": "vit-moe", "treevit": "tree-vit"}
 
+# one list for every CLI that picks a judge/serve model (serve, filter) —
+# duplicated choice lists drift (filter once rejected 'resmoe'/'treevit'
+# even though init() supports them)
+MODEL_CHOICES = ["resnet", "vit-base", "vit-large", "nvit", "resmoe",
+                 "treevit"]
+
 BUCKETS = (1, 8, 64)
 
 
@@ -376,13 +382,15 @@ def _judge_canvas_cache(image_dir: str, image_size: tuple[int, int],
 
     # never an upscaling canvas (min_size): feeding the model from a
     # smaller-than-input cache would silently change predictions
-    canvas = find_existing_canvas(index, min_size=image_size)
+    canvas, fp = find_existing_canvas(index, min_size=image_size,
+                                      with_fingerprint=True)
     if canvas is None:
         if mode != "on":
             return None, None, image_size
         # trainer-default canvas so a later training run hits this cache too
         canvas = (max(256, image_size[0]), max(256, image_size[1]))
-    cache = CanvasCache(index, canvas)
+    # the probe just computed the fingerprint: don't re-stat the corpus
+    cache = CanvasCache(index, canvas, fingerprint=fp)
     slot_of_path = {p: i for i, p in enumerate(index.paths)}
     return cache, slot_of_path, canvas
 
@@ -431,9 +439,19 @@ def full_judge(
         print(f"canvas cache: {canvas[0]}x{canvas[1]}, "
               f"{cache.hit_rate() * 100:.0f}% warm")
 
-    out_f = open(output, "w") if output else None
-    if out_f:
-        print("filename,predicted_class,confidence,actual_class,correct,path", file=out_f)
+    out_f = csv_w = None
+    if output:
+        import csv as _csv
+
+        # csv.writer, not raw f-strings: filter._kept_rows reads this back
+        # with csv.DictReader, so a comma in a filename/label/path must be
+        # quoted or every later column silently shifts
+        out_f = open(output, "w", newline="")
+        # \n terminator (csv default is \r\n) keeps byte parity with the
+        # reference's print()-written CSVs
+        csv_w = _csv.writer(out_f, lineterminator="\n")
+        csv_w.writerow(["filename", "predicted_class", "confidence",
+                        "actual_class", "correct", "path"])
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -506,8 +524,9 @@ def full_judge(
                 ok = predicted == label
                 cnt += 1
                 correct_cnt += ok
-                if out_f:
-                    out_f.write(f"{filename},{predicted},{float(c):.4f},{label},{ok},{path}\n")
+                if csv_w:
+                    csv_w.writerow([filename, predicted, f"{float(c):.4f}",
+                                    label, ok, path])
     if out_f:
         out_f.close()
     if cache is not None:
@@ -525,7 +544,7 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="Serve a model for inference.")
     parser.add_argument("--model", type=str, required=True,
-                        choices=["resnet", "vit-base", "vit-large", "nvit", "resmoe"])
+                        choices=MODEL_CHOICES)
     parser.add_argument("--image", type=str, required=True,
                         help="Path to an image or a directory of images.")
     parser.add_argument("--weights", type=str, default=None)

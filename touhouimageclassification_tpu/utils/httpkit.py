@@ -97,14 +97,24 @@ def make_wsgi_app(handler):
 
 
 def serve_dual_stack(app, port_v4: int, port_v6: int):
-    """IPv4 + IPv6 servers in two threads (web/app.py:96-104 layout)."""
+    """IPv4 + IPv6 servers in two threads (web/app.py:96-104 layout).
+
+    Threaded request handling: wsgiref's plain WSGIServer serializes the
+    whole app per port, which would starve the ModelDaemon's cross-request
+    micro-batching (built so N concurrent requests cost ~1 device batch)
+    and hang even the status-banner GET behind a cold-compile POST."""
     import socket
+    import socketserver
     from wsgiref.simple_server import WSGIServer, make_server
 
-    class V6Server(WSGIServer):
-        address_family = socket.AF_INET6
+    class V4Server(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
 
-    s4 = make_server("0.0.0.0", port_v4, app)
+    class V6Server(socketserver.ThreadingMixIn, WSGIServer):
+        address_family = socket.AF_INET6
+        daemon_threads = True
+
+    s4 = make_server("0.0.0.0", port_v4, app, server_class=V4Server)
     threads = [threading.Thread(target=s4.serve_forever, daemon=True)]
     try:
         s6 = make_server("::", port_v6, app, server_class=V6Server)

@@ -63,12 +63,28 @@ def load_pretrained_backbone(model_type: str, num_classes: int,
     for cand in candidates:
         if not os.path.isdir(cand):
             continue
-        weights = (
+        weights = sorted(
             glob.glob(os.path.join(cand, "**", "*.safetensors"), recursive=True)
-            + glob.glob(os.path.join(cand, "**", "pytorch_model.bin"), recursive=True)
+            # pytorch_model*.bin, not pytorch_model.bin: sharded snapshots
+            # (pytorch_model-00001-of-000NN.bin) must be SEEN so the shard
+            # check below can reject them loudly instead of silently
+            # reporting "no pretrained weights"
+            + glob.glob(os.path.join(cand, "**", "pytorch_model*.bin"),
+                        recursive=True)
         )
         if not weights:
             continue
+        if any("-of-" in os.path.basename(w) for w in weights):
+            raise ValueError(
+                f"sharded checkpoint under {cand} ({len(weights)} files); "
+                "loading one shard would silently drop weights — merge it "
+                "or convert with utils/convert first")
+        if len(weights) > 1:
+            # hub caches can hold several snapshot revisions: sorted order
+            # makes the pick deterministic, but say which file won
+            warnings.warn(
+                f"{len(weights)} weight files under {cand}; loading "
+                f"{weights[0]}", stacklevel=2)
         sd = _load_state_dict(weights[0])
         from .convert import torch_vit_to_flax
 

@@ -234,12 +234,15 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser(description="Run the web demo.")
     parser.add_argument("--debug", action="store_true")
-    parser.add_argument("--port", type=int, default=20810)
+    # default=None so an EXPLICIT --port 20810 is distinguishable from the
+    # default (--debug used to silently remap an explicit 20810 to 80)
+    parser.add_argument("--port", type=int, default=None,
+                        help="default 20810 (80 with --debug)")
     args = parser.parse_args()
     if args.debug:
         from wsgiref.simple_server import make_server
 
-        port = args.port if args.port != 20810 else 80
-        make_server("0.0.0.0", port, app).serve_forever()
+        make_server("0.0.0.0", args.port or 80, app).serve_forever()
     else:
-        serve_dual_stack(app, args.port, args.port + 1)  # 20810 / 20811
+        port = args.port or 20810
+        serve_dual_stack(app, port, port + 1)  # 20810 / 20811

@@ -131,7 +131,6 @@ class ModelDaemon:
         return req.results
 
     def _worker_loop(self):
-        last_predictor = None
         while True:
             self._have_work.wait()
             with self.lock:
@@ -145,11 +144,20 @@ class ModelDaemon:
                     total += len(batch[-1].images)
                 if not self._queue:
                     self._have_work.clear()
-                predictor = self.predictor or last_predictor
+                # this iteration's OWN reference: stop() can null
+                # self.predictor mid-inference but never yanks the model out
+                # from under this device call (SURVEY §5 race). No reference
+                # outlives the iteration — keeping one would pin the params
+                # (host + device HBM) forever and defeat the idle unload.
+                predictor = self.predictor
             if not batch:
                 continue
-            last_predictor = predictor
             try:
+                if predictor is None:
+                    # unreachable by the lock discipline (stop() stays up
+                    # while the queue is non-empty); fail the waiters loudly
+                    # rather than hanging them if it ever regresses
+                    raise RuntimeError("daemon stopped with queued requests")
                 flat = [im for r in batch for im in r.images]
                 results = predictor.predict_images(flat)
                 pos = 0
@@ -162,6 +170,11 @@ class ModelDaemon:
             finally:
                 for r in batch:
                     r.event.set()
+                # drop the reference before parking on the event again —
+                # a live local across the idle wait would pin the unloaded
+                # model until the next request
+                predictor = None
+                del batch
 
 
 daemon = ModelDaemon()
