@@ -78,8 +78,12 @@ def bench_train(batch: int, steps: int, warmup: int = 2, remat: bool = False,
         # k fused optimizer steps per call (TrainConfig.steps_per_call — the
         # trainer's production fast path)
         step_fn = trainer._make_train_scan(scan)
+        # generate each ~38 MB synthetic batch ONCE, then stack per key (a
+        # per-key comprehension would regenerate all of them 3x on this
+        # single host core)
+        bs = [batch_np(s) for s in range(scan)]
         stacked = {
-            key: np.stack([batch_np(s)[key] for s in range(scan)])
+            key: np.stack([b[key] for b in bs])
             for key in ("image", "label", "mask")
         }
         dbatch = jax.device_put(stacked, NamedSharding(mesh, P(None, "data")))
@@ -351,6 +355,15 @@ def main():
           flush=True)
 
     if args.real_data:
+        ignored = [f for f, dflt in (("--model", args.model == "vit-large"),
+                                     ("--remat", not args.remat),
+                                     ("--scan", args.scan == 8),
+                                     ("--attn", args.attn is None),
+                                     ("--gelu", args.gelu is None),
+                                     ("--serve", not args.serve)) if not dflt]
+        if ignored:
+            print(f"# note: --real-data uses the production ViT-L config; "
+                  f"ignoring {', '.join(ignored)}", file=sys.stderr)
         train_rate, host_decode, host_cached = bench_train_real(
             args.batch, args.steps, args.corpus_dir
         )

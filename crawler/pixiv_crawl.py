@@ -111,6 +111,21 @@ def existing_count(label_dir: str) -> int:
     return sum(1 for f in os.listdir(label_dir) if f.lower().endswith(".jpg"))
 
 
+def next_free_index(label_dir: str) -> int:
+    """Smallest N such that ``N.jpg`` names never collide with ANY existing
+    file stem. A plain count would clobber kept images once numbering has
+    holes — e.g. after a review pass renamed some ``K.jpg`` to
+    ``K.invalid``, count=70 would overwrite the kept ``70.jpg``."""
+    if not os.path.isdir(label_dir):
+        return 0
+    used = set()
+    for f in os.listdir(label_dir):
+        stem = f.split(".", 1)[0]
+        if stem.isdigit():
+            used.add(int(stem))
+    return max(used) + 1 if used else 0
+
+
 def guarder(fn, always_restart: bool = False, backoff: float = 600.0):
     """Crash-restart loop (reference :511-521)."""
     while True:
@@ -227,22 +242,33 @@ def crawl_keyword(driver, name: str, keyword: str, out_root: str, limit: int,
         return count
 
     page = 1
+    next_idx = next_free_index(label_dir)
     while count < limit:
         q = urllib.parse.quote(keyword)
         driver.get(f"https://www.pixiv.net/tags/{q}/artworks?p={page}")
         time.sleep(next(scheduler))
         mimic_user_interaction(driver, rng)
-        urls = [u for u in get_image_urls_from_page(driver) if u not in seen]
-        if not urls:
+        raw = get_image_urls_from_page(driver)
+        if not raw:
+            # stop only when the PAGE is empty (end of results). A page
+            # whose every thumbnail is already in the seen-set means a
+            # resumed run — keep paging, or every restart would abandon the
+            # keyword at page 1 forever
             print(f"{name}: page {page} empty, stopping")
             break
+        urls = [u for u in raw if u not in seen]
+        if not urls:
+            print(f"{name}: page {page} all seen, skipping ahead")
+            page += 1
+            continue
         for url in urls:
             if count >= limit:
                 break
-            out_path = os.path.join(label_dir, f"{count}.jpg")
+            out_path = os.path.join(label_dir, f"{next_idx}.jpg")
             if download_image(url, out_path):
                 seen.add(url)
                 count += 1
+                next_idx += 1
             time.sleep(next(scheduler))
         page += 1
     print(f"{name}: {count} images")

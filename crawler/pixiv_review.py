@@ -45,11 +45,27 @@ class ReviewState:
             with open(self.progress_file) as f:
                 data = json.load(f)
             if data.get("data_dir") == self.data_dir:
-                self.pos = min(int(data.get("pos", 0)), len(self.items))
+                nxt = data.get("next_path")
+                if nxt is not None:
+                    # Resume by the PATH of the next unreviewed item, not a
+                    # raw index: a rebuilt items list excludes the previous
+                    # session's rejections (now .invalid), so a stored index
+                    # would point past — and silently skip — unreviewed
+                    # images. items iterates in path sort order, so the
+                    # first path >= nxt is the true resume point.
+                    self.pos = len(self.items)
+                    for i, (_label, p) in enumerate(self.items):
+                        if p >= nxt:
+                            self.pos = i
+                            break
+                else:  # legacy index-only progress file
+                    self.pos = min(int(data.get("pos", 0)), len(self.items))
 
     def save_progress(self):
+        nxt = self.items[self.pos][1] if self.pos < len(self.items) else None
         with open(self.progress_file, "w") as f:
-            json.dump({"data_dir": self.data_dir, "pos": self.pos}, f)
+            json.dump({"data_dir": self.data_dir, "pos": self.pos,
+                       "next_path": nxt}, f)
 
     # -- review actions ----------------------------------------------------
 

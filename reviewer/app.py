@@ -50,22 +50,26 @@ _sessions_lock = threading.Lock()
 # ---------------------------------------------------------------------------
 
 def parse_file_info(label: str, filepath: str) -> dict:
+    """Parse ``<id>[.<uid>.<ts>].<status>`` from the RIGHT so image ids
+    containing dots (``cute.art``) survive the state machine."""
     filename = os.path.basename(filepath)
     parts = filename.split(".")
     status, session_uid, timestamp = "unknown", None, None
+    img_id = ".".join(parts[:-1])
     if parts[-1] == "jpg":
         status = "valid"
     elif parts[-1] == "pending":
         status = "pending"
     elif parts[-1] == "invalid":
         status = "invalid"
-    elif parts[-1] == "processing" and len(parts) == 4:
+    elif parts[-1] == "processing" and len(parts) >= 4:
         status = "processing"
-        session_uid = parts[1]
-        timestamp = parts[2]
+        session_uid = parts[-3]
+        timestamp = parts[-2]
+        img_id = ".".join(parts[:-3])
     return {
         "label": label,
-        "id": parts[0],
+        "id": img_id,
         "status": status,
         "session_uid": session_uid,
         "timestamp": timestamp,
@@ -76,9 +80,13 @@ def parse_file_info(label: str, filepath: str) -> dict:
 def get_status(label: str, img_id: str) -> dict:
     base_path = os.path.join(DATA_DIR, label)
     if os.path.isdir(base_path):
-        for filename in os.listdir(base_path):
-            if filename.startswith(f"{img_id}."):
-                return parse_file_info(label, os.path.join(base_path, filename))
+        for filename in sorted(os.listdir(base_path)):
+            if not filename.startswith(f"{img_id}."):
+                continue
+            info = parse_file_info(label, os.path.join(base_path, filename))
+            # exact-id match, not prefix: id '1' must not pick up '1.x.jpg'
+            if info["id"] == img_id:
+                return info
     return {"label": label, "id": img_id, "status": None, "session_uid": None,
             "timestamp": None, "path": None}
 
@@ -99,7 +107,7 @@ def get_one_pending(session_uid: str):
                           os.path.join(label_dir, processing))
             except OSError:
                 continue  # someone else claimed it first
-            return label, base_name.split(".")[0]
+            return label, base_name  # the FULL id (may contain dots)
     return None
 
 
@@ -237,16 +245,23 @@ def handler(request: Request) -> Response:
             if img["status"] == "processing" and img["session_uid"] == uid:
                 if mark_processed(img, action == "approve"):
                     history.append((label, img_id, action == "approve"))
+        # Post/Redirect/Get: rendering the next item from the POST response
+        # would let a browser refresh re-submit the judgment against an
+        # image the user never acted on
+        resp = Response("", status="303 See Other")
+        resp.headers.append(("Location", "/"))
+        resp.set_cookie("session_uid", uid)
+        return resp
 
     # refill queue
     if not queue:
         claim = get_one_pending(uid)
         if claim:
             queue.append(claim)
-    sess["queue"] = queue[-MAX_SESSION_LIST:]
-    sess["history"] = history[-MAX_SESSION_LIST:]
 
-    # drop stale queue heads (file moved by the reaper or another session)
+    # drop stale queue heads (file moved by the reaper or another session);
+    # runs BEFORE the session trim so claims made here are never lost to a
+    # slice copy
     img = None
     while queue:
         label, img_id = queue[0]
@@ -260,6 +275,8 @@ def handler(request: Request) -> Response:
                 queue.append(claim)
             else:
                 break
+    sess["queue"] = queue[-MAX_SESSION_LIST:]
+    sess["history"] = history[-MAX_SESSION_LIST:]
     if not queue:
         resp = Response("<h2>Review queue drained — nothing left to label.</h2>")
         resp.set_cookie("session_uid", uid)

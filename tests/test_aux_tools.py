@@ -173,3 +173,49 @@ def test_shipped_label_tables_carry_the_120_class_space():
     with open(os.path.join(root, "crawler/th_name_pretest.csv")) as f:
         pre = [l.strip() for l in f if l.strip()]
     assert pre[0] == "keyword" and len(pre) == 12
+
+
+def test_review_state_resume_after_rejections(tmp_path):
+    """Resume is path-keyed, not index-keyed: the rebuilt items list excludes
+    the prior session's rejections, so a raw index would silently skip
+    unreviewed images."""
+    from PIL import Image
+
+    import numpy as np
+
+    from crawler.pixiv_review import ReviewState
+
+    d = tmp_path / "data" / "char"
+    d.mkdir(parents=True)
+    for i in range(1, 7):
+        Image.fromarray(np.full((8, 8, 3), i, np.uint8)).save(d / f"{i}.jpg")
+    progress = str(tmp_path / "progress.json")
+
+    st = ReviewState(str(tmp_path / "data"), progress)
+    assert st.progress() == (0, 6)
+    st.reject()   # 1.jpg -> .invalid
+    st.reject()   # 2.jpg -> .invalid
+    st.keep()     # 3.jpg stays
+
+    st2 = ReviewState(str(tmp_path / "data"), progress)
+    # items now exclude the two .invalid files (4 left); the next unreviewed
+    # image is 4.jpg — an index resume would have pointed at 6.jpg
+    label, path = st2.current()
+    assert os.path.basename(path) == "4.jpg"
+    assert st2.progress() == (1, 4)
+
+
+def test_crawler_next_free_index(tmp_path):
+    """Non-contiguous numbering (review renamed some to .invalid) must not
+    make the crawler overwrite kept images."""
+    from crawler.pixiv_crawl import existing_count, next_free_index
+
+    d = tmp_path / "char"
+    d.mkdir()
+    for i in (0, 1, 2, 70, 99):
+        (d / f"{i}.jpg").write_bytes(b"x")
+    (d / "3.invalid").write_bytes(b"x")
+    assert existing_count(str(d)) == 5
+    # count=5 would have clobbered 70.jpg; the free index is past ALL stems
+    assert next_free_index(str(d)) == 100
+    assert next_free_index(str(tmp_path / "missing")) == 0

@@ -170,9 +170,12 @@ def test_reviewer_claim_approve_reject_undo(reviewer_env):
     procs = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".processing")]
     assert len(procs) == 1
 
-    # approve it
+    # approve it (POST redirects — Post/Redirect/Get — and the follow-up
+    # GET claims the next item, as a browser would)
     body, ctype = _multipart({"action": "approve"}, [])
-    _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    status, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    assert status.startswith("303")
+    _wsgi_call(rapp.app, cookie=cookie)
     jpgs = [f for _, _, fs in os.walk(data)
             for f in fs if f.endswith(".jpg") and f != "0.jpg"]
     assert len(jpgs) == 1
@@ -180,6 +183,7 @@ def test_reviewer_claim_approve_reject_undo(reviewer_env):
     # reject the next
     body, ctype = _multipart({"action": "reject"}, [])
     _s, headers, out = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    _wsgi_call(rapp.app, cookie=cookie)
     invalids = [f for _, _, fs in os.walk(data) for f in fs if f.endswith(".invalid")]
     assert len(invalids) == 1
 
@@ -349,3 +353,89 @@ def test_daemon_predict_stop_race(monkeypatch):
     assert results["out"] == [("reimu", 0.9)]
     assert calls == ["start", "end"]
     assert daemon.predictor is None    # stop still took effect afterwards
+
+
+def test_reviewer_non_ascii_label_image_route(reviewer_env):
+    """PEP 3333: servers hand PATH_INFO to the app latin-1-decoded while
+    browsers percent-encode UTF-8 — the dataset's Chinese label dirs must
+    still resolve."""
+    from PIL import Image
+
+    rapp, data = reviewer_env
+    label = "博丽灵梦"  # 博丽灵梦
+    d = os.path.join(data, label)
+    os.makedirs(d)
+    Image.fromarray(np.full((8, 8, 3), 99, np.uint8)).save(
+        os.path.join(d, "0.jpg"))
+    raw = f"/img/{label}/0.jpg"
+    latin1_view = raw.encode("utf-8").decode("iso-8859-1")  # what wsgiref does
+    status, _h, out = _wsgi_call(rapp.app, path=latin1_view)
+    assert status == "200 OK"
+    assert out[:3] == b"\xff\xd8\xff"
+
+
+def test_reviewer_post_redirects(reviewer_env):
+    """Post/Redirect/Get: a refresh after judging must not re-submit the
+    judgment against the next (undecided) image."""
+    rapp, data = reviewer_env
+    _s, headers, _o = _wsgi_call(rapp.app)
+    cookie = _cookie_of(headers)
+    body, ctype = _multipart({"action": "approve"}, [])
+    status, headers, _o = _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    assert status.startswith("303")
+    assert headers.get("Location") == ["/"]
+
+
+def test_reviewer_dotted_ids_survive_state_machine(reviewer_env):
+    """Image ids containing dots (cute.art.jpg) must round-trip through
+    claim -> processing -> approve without the id being truncated."""
+    from PIL import Image
+
+    rapp, data = reviewer_env
+    d = os.path.join(data, "alice")
+    Image.fromarray(np.full((8, 8, 3), 77, np.uint8)).save(
+        os.path.join(d, "cute.art.jpg"))
+    os.rename(os.path.join(d, "cute.art.jpg"),
+              os.path.join(d, "cute.art.pending"))
+    # drain the two plain pendings first, then the dotted one must be
+    # claimable and approvable
+    cookie = ""
+    for _ in range(12):
+        _s, headers, out = _wsgi_call(rapp.app, cookie=cookie)
+        cookie = _cookie_of(headers) or cookie
+        if b"Review queue drained" in out:
+            break
+        body, ctype = _multipart({"action": "approve"}, [])
+        _wsgi_call(rapp.app, "POST", "/", body, ctype, cookie)
+    assert os.path.exists(os.path.join(d, "cute.art.jpg"))
+    leftovers = [f for f in os.listdir(d)
+                 if f.endswith((".pending", ".processing"))]
+    assert not leftovers, leftovers
+
+
+def test_init_images_rerun_preserves_judgments(tmp_path):
+    """Re-running the initializer must not erase review results: approved
+    .jpg files stay approved (seed marker), .invalid/.processing are never
+    touched, and --requeue re-queues only approved images."""
+    from PIL import Image
+
+    import reviewer.init_images as rinit
+
+    d = tmp_path / "rdata" / "alice"
+    d.mkdir(parents=True)
+    Image.fromarray(np.full((8, 8, 3), 1, np.uint8)).save(d / "0.jpg")
+    for i in (1, 2, 3):
+        Image.fromarray(np.full((8, 8, 3), 2, np.uint8)).save(d / f"{i}.jpg")
+    root = str(tmp_path / "rdata")
+    assert rinit.initialize_pending(root) == 3
+    # simulate a review session: 1 approved, 1 rejected, 1 in flight
+    os.rename(d / "1.pending", d / "1.jpg")
+    os.rename(d / "2.pending", d / "2.invalid")
+    os.rename(d / "3.pending", d / f"3.uid.{int(1e9)}.processing")
+    assert rinit.initialize_pending(root) == 0  # seeded: untouched
+    assert (d / "1.jpg").exists() and (d / "2.invalid").exists()
+    n = rinit.initialize_pending(root, requeue=True)
+    assert n == 1  # only the approved 1.jpg is re-queued
+    assert (d / "1.pending").exists()
+    assert (d / "2.invalid").exists()
+    assert (d / f"3.uid.{int(1e9)}.processing").exists()

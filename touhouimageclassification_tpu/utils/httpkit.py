@@ -19,7 +19,15 @@ class Request:
     def __init__(self, environ):
         self.environ = environ
         self.method = environ.get("REQUEST_METHOD", "GET")
-        self.path = environ.get("PATH_INFO", "/")
+        path = environ.get("PATH_INFO", "/")
+        try:
+            # PEP 3333: servers decode PATH_INFO as latin-1; browsers send
+            # UTF-8 percent-encoding. Without the re-decode every path with
+            # a non-ASCII segment (the dataset's Chinese label dirs) 404s.
+            path = path.encode("iso-8859-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            pass
+        self.path = path
         self.query = parse_qs(environ.get("QUERY_STRING", ""))
         self.form: dict[str, list[str]] = {}
         self.files: list[tuple[str, str, bytes]] = []  # (field, filename, data)
