@@ -42,6 +42,13 @@ import time
 
 _MASTER_RE = re.compile(r"^https://i\.pximg\.net/.*/img-master/.*_p0_(master|square)")
 
+# stop a keyword after this many CONSECUTIVE pages whose every thumbnail is
+# already in the seen-set: Pixiv clamps out-of-range ?p= to the last results
+# page, so "page all seen" can repeat forever on a fully-crawled keyword
+# (60 thumbnails/page -> tolerates ~3.6k already-crawled images before the
+# first fresh one, far beyond the default --limit)
+MAX_ALL_SEEN_PAGES = 60
+
 
 def is_master_thumbnail(url: str) -> bool:
     """The reference keeps only first-page master thumbnails from
@@ -243,6 +250,7 @@ def crawl_keyword(driver, name: str, keyword: str, out_root: str, limit: int,
 
     page = 1
     next_idx = next_free_index(label_dir)
+    all_seen_streak = 0
     while count < limit:
         q = urllib.parse.quote(keyword)
         driver.get(f"https://www.pixiv.net/tags/{q}/artworks?p={page}")
@@ -258,9 +266,20 @@ def crawl_keyword(driver, name: str, keyword: str, out_root: str, limit: int,
             break
         urls = [u for u in raw if u not in seen]
         if not urls:
+            # bounded: the site clamps out-of-range ?p= to the LAST results
+            # page (non-empty, fully seen), so an unbounded skip-ahead on a
+            # fully-crawled keyword would spin forever — the empty-page stop
+            # above never fires. A long run of consecutive all-seen pages
+            # means the crawl already has everything this keyword offers.
+            all_seen_streak += 1
+            if all_seen_streak >= MAX_ALL_SEEN_PAGES:
+                print(f"{name}: {all_seen_streak} consecutive all-seen "
+                      "pages, stopping (keyword exhausted)")
+                break
             print(f"{name}: page {page} all seen, skipping ahead")
             page += 1
             continue
+        all_seen_streak = 0
         for url in urls:
             if count >= limit:
                 break

@@ -206,3 +206,41 @@ def test_treevit_capacity_drop_masked_and_renormalized():
     params2 = model2.init(jax.random.key(2), x)
     _c, _ch, kept2 = model2.apply(params2, x)
     np.testing.assert_allclose(np.asarray(kept2), 1.0, atol=1e-6)
+
+
+def test_treevit_dense_eval_matches_ample_capacity_and_never_drops():
+    """Deterministic (serve/judge) forwards default to DENSE routing: kept
+    is exactly 1 for every sample even when the training capacity would
+    drop most of a skewed batch (a dropped sample at serve time argmaxes
+    all-zero logits to class 0 — the full_judge per-class walk makes every
+    bucket single-class, i.e. maximally skewed). The dense combine must
+    agree with the capacity combine when capacity is ample (same math,
+    different dispatch)."""
+    import dataclasses
+
+    cfg = TreeViTConfig(num_categories=4, num_classes=6, top_k=2,
+                        capacity_factor=0.25, vit=TINY_VIT)
+    model = TreeViT(cfg, compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (8, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+
+    combined_d, _choice, kept_d = model.apply(params, x)  # eval default
+    np.testing.assert_allclose(np.asarray(kept_d), 1.0, atol=0)
+    assert np.abs(np.asarray(combined_d)).sum() > 0
+
+    # the same weights through the capacity path at eval: B=8,K=2,S=4 at
+    # factor 0.25 -> capacity 1 per son, 16 routed copies, at most 4 kept
+    cfg_cap = dataclasses.replace(cfg, eval_dense=False)
+    _c, _ch, kept_cap = TreeViT(cfg_cap, compute_dtype="float32").apply(
+        params, x)
+    assert np.any(np.asarray(kept_cap) < 1.0), "tiny capacity must drop"
+
+    # ample capacity (factor = S covers B*K per son): no drops, and the
+    # gather/segment-sum combine equals the dense einsum combine
+    cfg_amp = dataclasses.replace(cfg, eval_dense=False,
+                                  capacity_factor=float(cfg.num_categories))
+    c_amp, _ch2, kept_amp = TreeViT(cfg_amp, compute_dtype="float32").apply(
+        params, x)
+    np.testing.assert_allclose(np.asarray(kept_amp), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_amp), np.asarray(combined_d),
+                               rtol=1e-4, atol=1e-5)

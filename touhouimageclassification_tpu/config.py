@@ -223,6 +223,11 @@ class TreeViTConfig:
     top_k: int = 2
     map_file: str = "category.csv"
     capacity_factor: float = 1.5
+    # deterministic (eval/serve) forward runs every son densely and combines
+    # with the top-k weights — reference-exact, no capacity drops (a dropped
+    # sample at serve time argmaxes all-zero logits to class 0). False keeps
+    # capacity dispatch at eval for training-cost parity.
+    eval_dense: bool = True
     # architecture override for root/sons (None = ViT-Base)
     vit: "ViTConfig | None" = None
 

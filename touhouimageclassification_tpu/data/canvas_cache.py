@@ -98,7 +98,9 @@ def find_existing_canvas(index: ImageFolderIndex,
 
     ``with_fingerprint=True`` returns ``(canvas_or_None, fingerprint)`` so a
     caller constructing a CanvasCache right after the probe can hand the
-    fingerprint over instead of re-statting the whole dataset.
+    fingerprint over instead of re-statting the whole dataset; the
+    fingerprint is ``None`` when no cache dir exists (the probe statted
+    nothing — ``CanvasCache(fingerprint=None)`` computes its own).
 
     Single source of truth for the meta-validity predicate (fingerprint,
     entry count, decoder version, .data present) that ``CanvasCache``'s
@@ -111,9 +113,12 @@ def find_existing_canvas(index: ImageFolderIndex,
     """
     root = cache_dir or os.path.join(index.root, ".tic_canvas_cache")
     if not os.path.isdir(root):
-        if with_fingerprint:
-            return None, _fingerprint(index)
-        return None
+        # no cache dir -> nothing was statted, so there is no fingerprint to
+        # hand over: return None and let a caller that actually constructs a
+        # CanvasCache pay the (single) stat sweep there. Computing it here
+        # would bill every cache-less judge startup one full-corpus sweep
+        # for a value the common 'auto' path immediately discards.
+        return (None, None) if with_fingerprint else None
     fp = _fingerprint(index)
     candidates: list[tuple[int, int]] = []
     for meta_path in sorted(glob.glob(os.path.join(root, "*.json"))):

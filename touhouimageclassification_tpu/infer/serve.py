@@ -475,10 +475,12 @@ def full_judge(
                     [paths[j] for j in miss], canvas, decoded, pool=pool,
                     on_error="zero")
                 imgs[miss] = decoded
-                bad = {int(miss[k]) for k in failed}
-                good = np.asarray([k for k in range(miss.size)
-                                   if int(miss[k]) not in bad])
-                if good.size:  # never mark an undecodable slot cache-done
+                failed = np.asarray(sorted(failed), np.int64)
+                bad = {int(j) for j in miss[failed]}
+                # never mark an undecodable slot cache-done — the same
+                # setdiff1d invariant as data/loader.py:_make_batch
+                good = np.setdiff1d(np.arange(miss.size), failed)
+                if good.size:
                     cache.store(ids[miss[good]], decoded[good])
         else:
             # native C++ batch decode when built (~4x PIL on this host);

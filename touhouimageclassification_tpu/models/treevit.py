@@ -19,6 +19,16 @@ samples out of the loss instead of training on all-zero logits.
 Returns ``(combined_logits, root_choice_logits, kept_mass)`` — the root
 logits feed the staged curriculum trainer (root trained on category labels
 first, ``TIC/TreeViT/train.py``).
+
+Inference (``deterministic=True``) defaults to DENSE routing: every son
+runs on every sample and the top-k weights select the combination —
+bit-equivalent to the reference's per-sample loop (``model.py:19-22``),
+which never drops. Capacity drops are a *training* trade (static shapes
+for the backward); at serving/judging a capacity-dropped sample would
+return all-zero logits and be silently scored as class 0 by ``argmax`` —
+single-class judge buckets (``infer/serve.py full_judge``) route nearly
+the whole batch to one son and hit exactly that. ``eval_dense=False``
+restores capacity dispatch at eval for cost parity with training.
 """
 from __future__ import annotations
 
@@ -68,6 +78,23 @@ class TreeViT(nn.Module):
             axis_size=cfg.num_categories,
             metadata_params={nn.meta.PARTITION_NAME: "expert"},
         )
+        if deterministic and route_labels is None and cfg.eval_dense:
+            # dense inference: (S, B, H, W, 3) — every son sees every sample,
+            # weights scattered from the top-k choice. No drops, exact
+            # reference combine (smoothed weights already sum to 1).
+            xs = jnp.broadcast_to(x[None], (cfg.num_categories, *x.shape))
+            son_logits = SonStack(son_cfg, self.compute_dtype, name="sons")(
+                xs, deterministic
+            )                                                  # (S, B, cls)
+            w = jnp.sum(
+                jax.nn.one_hot(top_i, cfg.num_categories, dtype=jnp.float32)
+                * smoothed[..., None],
+                axis=1,
+            )                                                  # (B, S)
+            combined = jnp.einsum(
+                "bs,sbc->bc", w, son_logits.astype(jnp.float32))
+            return combined, choice, jnp.ones((b,), jnp.float32)
+
         capacity = md.capacity_for(b, cfg.top_k, cfg.num_categories,
                                    cfg.capacity_factor)
         plan = md.make_dispatch_plan(top_i, cfg.num_categories, capacity)

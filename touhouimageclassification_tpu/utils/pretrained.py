@@ -74,11 +74,16 @@ def load_pretrained_backbone(model_type: str, num_classes: int,
         )
         if not weights:
             continue
-        if any("-of-" in os.path.basename(w) for w in weights):
+        # prefer any complete single-file checkpoint; only raise on shards
+        # when NOTHING non-sharded coexists (a hub cache often holds
+        # model.safetensors next to pytorch_model-0000N-of-000NN.bin)
+        whole = [w for w in weights if "-of-" not in os.path.basename(w)]
+        if not whole:
             raise ValueError(
                 f"sharded checkpoint under {cand} ({len(weights)} files); "
                 "loading one shard would silently drop weights — merge it "
                 "or convert with utils/convert first")
+        weights = whole
         if len(weights) > 1:
             # hub caches can hold several snapshot revisions: sorted order
             # makes the pick deterministic, but say which file won
