@@ -42,12 +42,19 @@ import time
 
 _MASTER_RE = re.compile(r"^https://i\.pximg\.net/.*/img-master/.*_p0_(master|square)")
 
-# stop a keyword after this many CONSECUTIVE pages whose every thumbnail is
-# already in the seen-set: Pixiv clamps out-of-range ?p= to the last results
+# stop a keyword after this many CONSECUTIVE pages that yield zero
+# successful downloads: Pixiv clamps out-of-range ?p= to the last results
 # page, so "page all seen" can repeat forever on a fully-crawled keyword
 # (60 thumbnails/page -> tolerates ~3.6k already-crawled images before the
-# first fresh one, far beyond the default --limit)
+# first fresh one, far beyond the default --limit). Keyed on download
+# SUCCESS, not on unseen URLs: a persistently undownloadable URL (deleted
+# work, 404 thumbnail) never enters the seen-set and would otherwise keep
+# the clamped last page "unseen" forever.
 MAX_ALL_SEEN_PAGES = 60
+
+# give up on a URL after this many failed download attempts within one run
+# (it stops counting as crawlable, so it can't pin the exhaustion bound)
+MAX_URL_FAILURES = 3
 
 
 def is_master_thumbnail(url: str) -> bool:
@@ -159,6 +166,22 @@ REQUEST_HEADERS = {
 }
 
 
+class _ByFallback:
+    """selenium.webdriver.common.by.By's locator strings, so the browser
+    functions run against an injected driver object (tests, alternative
+    automation backends) without selenium installed."""
+    TAG_NAME = "tag name"
+    CSS_SELECTOR = "css selector"
+
+
+def _by():
+    try:
+        from selenium.webdriver.common.by import By
+        return By
+    except ImportError:
+        return _ByFallback
+
+
 def _make_driver():
     try:
         import undetected_chromedriver as uc
@@ -182,8 +205,7 @@ def login_to_pixiv(driver, username: str | None, password: str | None) -> None:
     driver.get("https://accounts.pixiv.net/login")
     time.sleep(3)
     if username and password:
-        from selenium.webdriver.common.by import By
-
+        By = _by()
         fields = driver.find_elements(By.CSS_SELECTOR, "input[type=text], input[type=password]")
         if len(fields) >= 2:
             fields[0].send_keys(username)
@@ -208,8 +230,7 @@ def mimic_user_interaction(driver, rng: random.Random) -> None:
 
 def get_image_urls_from_page(driver) -> list[str]:
     """Collect master-thumbnail URLs from the current results page."""
-    from selenium.webdriver.common.by import By
-
+    By = _by()
     urls = []
     for img in driver.find_elements(By.TAG_NAME, "img"):
         src = img.get_attribute("src") or ""
@@ -250,7 +271,8 @@ def crawl_keyword(driver, name: str, keyword: str, out_root: str, limit: int,
 
     page = 1
     next_idx = next_free_index(label_dir)
-    all_seen_streak = 0
+    dry_streak = 0  # consecutive pages with zero successful downloads
+    failures: dict[str, int] = {}  # url -> failed download attempts this run
     while count < limit:
         q = urllib.parse.quote(keyword)
         driver.get(f"https://www.pixiv.net/tags/{q}/artworks?p={page}")
@@ -264,31 +286,37 @@ def crawl_keyword(driver, name: str, keyword: str, out_root: str, limit: int,
             # keyword at page 1 forever
             print(f"{name}: page {page} empty, stopping")
             break
-        urls = [u for u in raw if u not in seen]
-        if not urls:
-            # bounded: the site clamps out-of-range ?p= to the LAST results
-            # page (non-empty, fully seen), so an unbounded skip-ahead on a
-            # fully-crawled keyword would spin forever — the empty-page stop
-            # above never fires. A long run of consecutive all-seen pages
-            # means the crawl already has everything this keyword offers.
-            all_seen_streak += 1
-            if all_seen_streak >= MAX_ALL_SEEN_PAGES:
-                print(f"{name}: {all_seen_streak} consecutive all-seen "
-                      "pages, stopping (keyword exhausted)")
-                break
-            print(f"{name}: page {page} all seen, skipping ahead")
-            page += 1
-            continue
-        all_seen_streak = 0
+        urls = [u for u in raw if u not in seen
+                and failures.get(u, 0) < MAX_URL_FAILURES]
+        got = 0
         for url in urls:
             if count >= limit:
                 break
             out_path = os.path.join(label_dir, f"{next_idx}.jpg")
             if download_image(url, out_path):
                 seen.add(url)
+                failures.pop(url, None)
                 count += 1
                 next_idx += 1
+                got += 1
+            else:
+                failures[url] = failures.get(url, 0) + 1
             time.sleep(next(scheduler))
+        if got:
+            dry_streak = 0
+        else:
+            # bounded: the site clamps out-of-range ?p= to the LAST results
+            # page (non-empty), so an unbounded skip-ahead on a fully-
+            # crawled keyword would spin forever — the empty-page stop
+            # above never fires. The streak is keyed on successful
+            # downloads, so a permanently-404 thumbnail on that clamped
+            # page (never added to the seen-set) cannot hold it open.
+            dry_streak += 1
+            if dry_streak >= MAX_ALL_SEEN_PAGES:
+                print(f"{name}: {dry_streak} consecutive pages without a "
+                      "download, stopping (keyword exhausted)")
+                break
+            print(f"{name}: page {page} yielded nothing new, skipping ahead")
         page += 1
     print(f"{name}: {count} images")
     return count

@@ -63,6 +63,12 @@ def initialize_pending(data_dir: str = "data", requeue: bool = False) -> int:
         if not os.path.isdir(label_dir):
             continue
         marker = os.path.join(label_dir, SEED_MARKER)
+        # a crash between _write_marker's tmp write and os.replace leaves a
+        # half-written '<marker>.tmp' — never a reviewable image; drop it so
+        # the file loop below can't queue it
+        stale_tmp = marker + ".tmp"
+        if os.path.exists(stale_tmp):
+            os.unlink(stale_tmp)
         stems = _read_seeded_stems(marker) if os.path.exists(marker) else set()
         if stems is None:  # legacy marker: no ledger to tell new from judged
             if not requeue:
@@ -73,8 +79,8 @@ def initialize_pending(data_dir: str = "data", requeue: bool = False) -> int:
             stems = set()
         processed = 0
         for filename in sorted(os.listdir(label_dir)):
-            if filename in ("0.jpg", SEED_MARKER):
-                continue
+            if filename == "0.jpg" or filename.startswith("."):
+                continue  # reference image, ledger/marker files, dotfiles
             src = os.path.join(label_dir, filename)
             if not os.path.isfile(src):
                 continue

@@ -159,6 +159,38 @@ def test_treevit_forward_and_grads():
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
 
 
+def test_treevit_capacity_path_grads():
+    """Gradient coverage through the CAPACITY dispatch/combine/renormalize
+    path (eval_dense=True reroutes deterministic forwards through the dense
+    branch, so this pins the segment-sum combine's backward — including with
+    real capacity drops — which no other test differentiates)."""
+    cfg = TreeViTConfig(num_categories=3, num_classes=6, top_k=2,
+                        capacity_factor=8.0, vit=TINY_VIT, eval_dense=False)
+    model = TreeViT(cfg, compute_dtype="float32")
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 3))
+    params = model.init(jax.random.key(1), x)
+
+    def make_loss(m):
+        def loss_fn(p):
+            c, ch, kept = m.apply(p, x)
+            return jnp.sum(c ** 2) + jnp.sum(ch ** 2) + jnp.sum(kept)
+        return loss_fn
+
+    g = jax.jit(jax.grad(make_loss(model)))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # the sons actually receive gradient through the dispatch
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+    # and with real drops (capacity 1 per son): backward stays finite
+    cfg_drop = dataclasses.replace(cfg, capacity_factor=0.5, top_k=1)
+    model_drop = TreeViT(cfg_drop, compute_dtype="float32")
+    params_drop = model_drop.init(jax.random.key(2), x)
+    g2 = jax.jit(jax.grad(make_loss(model_drop)))(params_drop)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g2))
+
+
 def test_treevit_jits():
     model = TreeViT(TreeViTConfig(num_categories=2, num_classes=4, top_k=1,
                                   vit=TINY_VIT))

@@ -439,3 +439,24 @@ def test_init_images_rerun_preserves_judgments(tmp_path):
     assert (d / "1.pending").exists()
     assert (d / "2.invalid").exists()
     assert (d / f"3.uid.{int(1e9)}.processing").exists()
+
+
+def test_init_images_ignores_crashed_marker_tmp(tmp_path):
+    """A crash between the ledger's tmp write and os.replace leaves
+    '<marker>.tmp' in the label dir; a re-run must drop it instead of
+    queueing the half-written ledger as a reviewable image (ADVICE r3)."""
+    from PIL import Image
+
+    import reviewer.init_images as rinit
+
+    d = tmp_path / "rdata" / "alice"
+    d.mkdir(parents=True)
+    Image.fromarray(np.full((8, 8, 3), 2, np.uint8)).save(d / "1.jpg")
+    (d / (rinit.SEED_MARKER + ".tmp")).write_text("# half-written\n1\n")
+    root = str(tmp_path / "rdata")
+    assert rinit.initialize_pending(root) == 1
+    names = set(os.listdir(d))
+    assert "1.pending" in names
+    assert rinit.SEED_MARKER + ".tmp" not in names      # stale tmp removed
+    assert rinit.SEED_MARKER + ".pending" not in names  # never queued
+    assert rinit.SEED_MARKER in names                   # fresh ledger written

@@ -32,6 +32,8 @@ restores capacity dispatch at eval for cost parity with training.
 """
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -41,6 +43,25 @@ import dataclasses
 
 from ..ops import moe_dispatch as md
 from .vit import ViT
+
+
+_dense_eval_warned = False
+
+
+def _warn_dense_once(num_categories: int, top_k: int) -> None:
+    """Dense eval runs ALL S sons on the full batch — S/K× the son compute of
+    capacity dispatch. Surface the cost factor once per process so eval/serve
+    throughput changes aren't misread as kernel regressions."""
+    global _dense_eval_warned
+    if _dense_eval_warned:
+        return
+    _dense_eval_warned = True
+    logging.getLogger(__name__).info(
+        "TreeViT eval_dense=True: deterministic forwards run every son on the "
+        "full batch (~%d/%d = %.1fx the son compute of capacity dispatch); "
+        "set eval_dense=False for capacity-dispatch eval cost parity.",
+        num_categories, top_k, num_categories / max(top_k, 1),
+    )
 
 
 class TreeViT(nn.Module):
@@ -79,6 +100,7 @@ class TreeViT(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: "expert"},
         )
         if deterministic and route_labels is None and cfg.eval_dense:
+            _warn_dense_once(cfg.num_categories, cfg.top_k)
             # dense inference: (S, B, H, W, 3) — every son sees every sample,
             # weights scattered from the top-k choice. No drops, exact
             # reference combine (smoothed weights already sum to 1).
