@@ -55,9 +55,20 @@ def run_sweep(
 
     models = models if models is not None else MODELS
     os.makedirs(result_dir, exist_ok=True)
+    rows: list[dict] = []
     for name, mtype, checkpoint in models:
         out_csv = os.path.join(result_dir, f"{name}.csv")
         if recompute or not os.path.exists(out_csv):
+            # per-row guard: a sweep over the pinned table must not abort
+            # because one artifact hasn't been trained/converted yet — skip
+            # the row, record WHY, and keep scoring the others (the
+            # reference's subprocess-per-model harness got this isolation
+            # for free, acc.py:43-51)
+            if not os.path.exists(checkpoint):
+                print(f"{name}: checkpoint missing ({checkpoint}) — skipped")
+                rows.append({"name": name, "acc": "",
+                             "status": "missing_checkpoint"})
+                continue
             predictor = serve_mod.init(
                 modelt=mtype, weights=checkpoint,
                 data_dir=data_dir or serve_mod.FILTERED_DATA_DIR, dp=dp,
@@ -68,9 +79,9 @@ def run_sweep(
             serve_mod.full_judge(predictor, test_dir, out_csv,
                                  canvas_cache=canvas_cache)
             del predictor
-    rows = [get_acc(name, result_dir) for name, _, _ in models]
+        rows.append({**get_acc(name, result_dir), "status": "ok"})
     with open(os.path.join(result_dir, "acc.csv"), "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=["name", "acc"])
+        writer = csv.DictWriter(f, fieldnames=["name", "acc", "status"])
         writer.writeheader()
         writer.writerows(rows)
     return rows
@@ -91,4 +102,7 @@ if __name__ == "__main__":
     args = parser.parse_args()
     for row in run_sweep(recompute=args.recompute, dp=args.dp,
                          canvas_cache=args.canvas_cache):
-        print(f"{row['name']}: {row['acc']:.4f}")
+        if row.get("status") == "missing_checkpoint":
+            print(f"{row['name']}: (checkpoint missing)")
+        else:
+            print(f"{row['name']}: {row['acc']:.4f}")
