@@ -7,6 +7,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from touhouimageclassification_tpu.config import ResNetConfig, ViTConfig
@@ -73,6 +74,61 @@ def test_resnet_train_mode_updates_stats():
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(updates["batch_stats"])
     assert any(not jnp.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_resnet_bn_variants_match_flax():
+    """The hand-rolled 'batch' BN variant is numerically flax.BatchNorm
+    (same params/variables — checkpoints interchange); 'ghost'/'stale'
+    produce finite outputs, update running stats, and share the param
+    tree. 'stale' must normalize by the PRE-update EMA (ops/batchnorm.py,
+    the BN-cost experiment of VERDICT r3 #2)."""
+    def make(variant="flax"):
+        return ResNet(ResNetConfig(depth=18, num_classes=5, image_size=32,
+                                   bn_variant=variant),
+                      compute_dtype="float32")
+
+    x = jax.random.normal(jax.random.key(0), (8, 32, 32, 3), jnp.float32)
+    ref = make()
+    variables = ref.init(jax.random.key(1), x)
+    ref_logits, ref_updates = ref.apply(variables, x, train=True,
+                                        mutable=["batch_stats"])
+
+    batch = make("batch")
+    # identical param tree: flax variables load straight into the variant
+    got_logits, got_updates = batch.apply(variables, x, train=True,
+                                          mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_updates),
+                    jax.tree_util.tree_leaves(got_updates)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    for variant in ("ghost", "stale"):
+        m = make(variant)
+        logits, updates = m.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(logits)).all()
+        old = jax.tree_util.tree_leaves(variables["batch_stats"])
+        new = jax.tree_util.tree_leaves(updates["batch_stats"])
+        assert any(not jnp.allclose(a, b) for a, b in zip(old, new)), variant
+        # eval mode is plain running-stats BN for every variant
+        ev = m.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(ev), np.asarray(ref.apply(variables, x)),
+                                   rtol=2e-4, atol=2e-4)
+
+    # grads flow through every variant's train path
+    for variant in ("batch", "ghost", "stale"):
+        m = make(variant)
+
+        def loss_fn(p):
+            out, _ = m.apply({**variables, "params": p}, x, train=True,
+                             mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g)), variant
 
 
 def test_resnet_all_depth_factories():

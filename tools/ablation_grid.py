@@ -1,11 +1,11 @@
-"""Fixture-scale reproduction of the reference's ablation table.
+"""Reproduction of the reference's ablation table at two scales.
 
 The reference's core deliverable is a measured accuracy grid over 8
 ablation launchers plus the filtering recipe (``doc/report.pdf`` p.8
 Table 3, harness ``TIC/analysis/acc.py``). The real 120-class Pixiv corpus
 is unavailable here (no dataset, no egress), so this runs the SAME presets,
 the SAME finetune->filter->retrain recipe, and the SAME accuracy harness on
-a synthetic fixture engineered so the two interventions measurably matter:
+a synthetic corpus engineered so the two interventions measurably matter:
 
 - **filtering matters**: the 'unfiltered' train tree carries 25% label
   noise (images generated from class A, labeled B) — the reference's Pixiv
@@ -18,15 +18,27 @@ a synthetic fixture engineered so the two interventions measurably matter:
   contrast jitter, occasional grayscale), so recipes with crop/color/grey
   augmentation generalize measurably better than 'unaug'.
 
-Models run with --tiny dims (32², scratch init — no pretrained snapshot
-exists in this environment) and LR 3e-3 (the presets' 1e-5 is tuned for a
-pretrained ViT-L backbone); everything else is the preset verbatim
-(epochs, batch, optimizer, augmentation recipe, mixup, early stopping).
+Two scales (``--scale``):
 
-Output: ``result/ablation_fixture/acc.csv`` (the reference harness's
+- ``fixture`` (round-3 artifact): 8 classes x 48, 40² canvases, --tiny
+  dims at 32² input. Fast CI-class shakeout.
+- ``pixiv`` (VERDICT r3 next #1): 24 classes x 48 = 1,152 training JPEGs
+  at 1200x900 / quality 90 — the same scale and image statistics as the
+  ``tools/bench_judge.py --e2e`` corpus — with a DeiT-Tiny-class model
+  (``--small``) at the FULL 224² input, RandomResizedCrop from the 256
+  canvas, the real canvas cache and staged uploads. The strongest
+  available proxy for Table 3's sign structure without the real corpus.
+
+Models are scratch-init (no pretrained snapshot exists in this
+environment) with an LR suited to scratch training (the presets' 1e-5 is
+tuned for a pretrained ViT-L backbone); everything else is the preset
+verbatim (epochs, batch*, optimizer, augmentation recipe, mixup, early
+stopping; *batch raised to 64 at pixiv scale for chip throughput).
+
+Output: ``result/ablation_<scale>/acc.csv`` (the reference harness's
 format), per-model CSVs, and ``grid.json`` with the run metadata.
 
-Run (chip): python tools/ablation_grid.py
+Run (chip): python tools/ablation_grid.py --scale pixiv
 Run (CPU):  TIC_SMOKE_FORCE_CPU=1 python tools/ablation_grid.py --fast
 """
 from __future__ import annotations
@@ -46,6 +58,10 @@ TRAIN_PER_CLASS = 48
 TEST_PER_CLASS = 12
 NOISE_FRACTION = 0.25
 CANVAS = 40
+
+# pixiv scale: the 1,152-image / 1200x900 shape of the bench corpus
+PIXIV = dict(classes=24, train_per_class=48, test_per_class=12,
+             height=900, width=1200)
 
 # preset -> which train tree it uses (mirrors config.PRESETS data_dir intent)
 PRESET_DATA = {
@@ -106,6 +122,105 @@ def _draw(rng, cls, shifted):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _hue_wheel(n):
+    """n visually-distinct base colors (HSV wheel, alternating S/V rings so
+    neighbors differ in more than hue)."""
+    import colorsys
+
+    cols = []
+    for i in range(n):
+        h = i / n
+        s = 0.85 if i % 2 == 0 else 0.55
+        v = 0.8 if i % 3 else 0.55
+        cols.append([c * 255 for c in colorsys.hsv_to_rgb(h, s, v)])
+    return np.asarray(cols, np.float32)
+
+
+def _draw_pixiv(rng, cls, shifted, h, w, hues, yy, xx):
+    """One (h, w, 3) uint8 'artwork': smooth gradient background (so JPEG
+    files compress/decode like the bench corpus) + a class-identifying
+    colored shape. Same canonical-vs-shifted contract as ``_draw``."""
+    color = hues[cls] + rng.normal(0, 10, 3).astype(np.float32)
+    base = (110 + 28 * np.sin(xx / (53.0 + 5 * (cls % 5)) + cls)
+            + 22 * np.cos(yy / 71.0)).astype(np.float32)
+    img = np.repeat(base[..., None], 3, axis=-1)
+    img += rng.normal(0, 7, (h, w, 3)).astype(np.float32)
+
+    s = min(h, w)
+    if shifted:
+        cy = rng.uniform(0.22 * h, 0.78 * h)
+        cx = rng.uniform(0.22 * w, 0.78 * w)
+        r = rng.uniform(0.10, 0.32) * s
+    else:
+        cy = h / 2 + rng.normal(0, 0.03 * s)
+        cx = w / 2 + rng.normal(0, 0.03 * s)
+        r = 0.24 * s * (1 + rng.normal(0, 0.06))
+
+    shape = cls % 4
+    if shape == 0:      # disc
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+    elif shape == 1:    # square
+        mask = (np.abs(yy - cy) < r * 0.85) & (np.abs(xx - cx) < r * 0.85)
+    elif shape == 2:    # diamond
+        mask = (np.abs(yy - cy) + np.abs(xx - cx)) < r * 1.2
+    else:               # ring
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        mask = (d2 < r ** 2) & (d2 > (r * 0.55) ** 2)
+    img[mask] = color + rng.normal(0, 9, (int(mask.sum()), 3))
+
+    if shifted:
+        img = img * rng.uniform(0.55, 1.45)
+        img = (img - img.mean()) * rng.uniform(0.6, 1.4) + img.mean()
+        if rng.random() < 0.25:
+            img = np.broadcast_to(
+                img.mean(axis=-1, keepdims=True), img.shape).copy()
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def make_fixture_pixiv(root, rng, classes, train_per_class, test_per_class,
+                       h, w):
+    """Pixiv-scale corpus with the same noise/shift contract as the fixture
+    maker. Persistent: regenerating 1,440 1200x900 JPEGs costs ~7 min on
+    this 1-core box, so a completed tree (marker + truth map) is reused."""
+    import json as _json
+
+    from PIL import Image
+
+    marker = os.path.join(root, ".complete")
+    truth_path = os.path.join(root, ".truth.json")
+    unfiltered = os.path.join(root, "unfiltered")
+    testset = os.path.join(root, "testset")
+    if os.path.exists(marker) and os.path.exists(truth_path):
+        with open(truth_path) as f:
+            truth = {k: int(v) for k, v in _json.load(f).items()}
+        return unfiltered, testset, truth
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    names = [f"char_{c:02d}" for c in range(classes)]
+    hues = _hue_wheel(classes)
+    truth = {}
+    for ci, name in enumerate(names):
+        os.makedirs(os.path.join(unfiltered, name), exist_ok=True)
+    for ci, name in enumerate(names):
+        for i in range(train_per_class):
+            noisy = rng.random() < NOISE_FRACTION
+            true_cls = rng.integers(0, classes) if noisy else ci
+            img = _draw_pixiv(rng, int(true_cls), False, h, w, hues, yy, xx)
+            p = os.path.join(unfiltered, name, f"{i}.jpg")
+            Image.fromarray(img).save(p, quality=90)
+            truth[p] = int(true_cls)
+    for ci, name in enumerate(names):
+        d = os.path.join(testset, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(test_per_class):
+            img = _draw_pixiv(rng, ci, True, h, w, hues, yy, xx)
+            Image.fromarray(img).save(os.path.join(d, f"{i}.jpg"), quality=90)
+    with open(truth_path, "w") as f:
+        _json.dump(truth, f)
+    open(marker, "w").close()
+    return unfiltered, testset, truth
+
+
 def make_fixture(root, rng):
     from PIL import Image
 
@@ -134,8 +249,10 @@ def make_fixture(root, rng):
     return unfiltered, testset, truth
 
 
-def filter_quality(filtered_dir, truth):
+def filter_quality(filtered_dir, truth, unfiltered_root=None):
     """Fraction of kept images whose DIRECTORY label matches ground truth."""
+    unfiltered_root = unfiltered_root or os.path.join(
+        os.path.dirname(filtered_dir), "unfiltered")
     kept = correct = 0
     for cls_dir in sorted(os.listdir(filtered_dir)):
         full = os.path.join(filtered_dir, cls_dir)
@@ -146,8 +263,7 @@ def filter_quality(filtered_dir, truth):
                 continue
             kept += 1
             # filter copies preserve the filename; map back to the source
-            src = truth.get(os.path.join(
-                os.path.dirname(filtered_dir), "unfiltered", cls_dir, f))
+            src = truth.get(os.path.join(unfiltered_root, cls_dir, f))
             cls_idx = int(cls_dir.split("_")[1])
             correct += (src == cls_idx)
     return kept, (correct / kept if kept else 0.0)
@@ -155,11 +271,21 @@ def filter_quality(filtered_dir, truth):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=["fixture", "pixiv"], default="fixture")
     ap.add_argument("--fast", action="store_true",
                     help="fewer epochs (CPU shakeout, not the recorded run)")
-    ap.add_argument("--work", default="/tmp/tic_ablation_grid")
+    ap.add_argument("--work", default=None,
+                    help="scratch dir (default /tmp/tic_ablation_<scale>)")
+    ap.add_argument("--corpus", default="/tmp/tic_ablation_pixiv_corpus",
+                    help="persistent corpus dir (pixiv scale only)")
     ap.add_argument("--out", default=None,
-                    help="result dir (default <repo>/result/ablation_fixture)")
+                    help="result dir (default <repo>/result/ablation_<scale>)")
+    ap.add_argument("--classes", type=int, default=None,
+                    help="override class count (CPU shakeout)")
+    ap.add_argument("--per-class", type=int, default=None)
+    ap.add_argument("--test-per-class", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the scale's batch size (CPU shakeout)")
     args = ap.parse_args(argv)
 
     import jax
@@ -168,13 +294,36 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = args.out or os.path.join(repo, "result", "ablation_fixture")
-    work = os.path.abspath(args.work)
+    dirname = "ablation_fixture" if args.scale == "fixture" else "ablation_pixiv"
+    out_dir = args.out or os.path.join(repo, "result", dirname)
+    work = os.path.abspath(args.work or f"/tmp/tic_{dirname}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     rng = np.random.default_rng(42)
-    unfiltered, testset, truth = make_fixture(work, rng)
+    if args.scale == "fixture":
+        unfiltered, testset, truth = make_fixture(work, rng)
+        model_flag, batch, lr, judge_lr = "--tiny", "16", "3e-3", "3e-3"
+        judge_epochs = "2" if args.fast else "3"
+        epochs_flag = ["--max-epochs", "4"] if args.fast else []
+    else:
+        p = dict(PIXIV)
+        if args.classes:
+            p["classes"] = args.classes
+        if args.per_class:
+            p["train_per_class"] = args.per_class
+        if args.test_per_class:
+            p["test_per_class"] = args.test_per_class
+        unfiltered, testset, truth = make_fixture_pixiv(
+            os.path.abspath(args.corpus), rng, p["classes"],
+            p["train_per_class"], p["test_per_class"], p["height"], p["width"])
+        # DeiT-Tiny-class scratch model at the full 224 input; LR suited to
+        # scratch at batch 64 (the preset 1e-5 is a pretrained-ViT-L rate)
+        model_flag, batch, lr, judge_lr = "--small", "64", "5e-4", "1e-3"
+        judge_epochs = "2" if args.fast else "8"
+        epochs_flag = ["--max-epochs", "4"] if args.fast else []
+    if args.batch:
+        batch = str(args.batch)
     os.environ["TIC_CHECKPOINT_DIR"] = os.path.join(work, "checkpoint")
     os.environ["TIC_LOG_DIR"] = os.path.join(work, "log")
     os.environ["TIC_TEST_DIR"] = testset
@@ -185,16 +334,13 @@ def main(argv=None):
 
     from touhouimageclassification_tpu.train import finetune, ntrain
 
-    judge_epochs = "2" if args.fast else "3"
-    epochs_flag = ["--max-epochs", "4"] if args.fast else []
-
     # --- stage 1: the filter judge (reference §3.4) -----------------------
     print("=== judge finetune ===", flush=True)
-    finetune.main(["--tiny", "--no-pretrained", "--data-dir", unfiltered,
-                   "--max-epochs", judge_epochs, "--batch-size", "16",
-                   "--no-resume", "--lr", "3e-3", "--schedule", "constant"])
+    finetune.main([model_flag, "--no-pretrained", "--data-dir", unfiltered,
+                   "--max-epochs", judge_epochs, "--batch-size", batch,
+                   "--no-resume", "--lr", judge_lr, "--schedule", "constant"])
     judge_dir = os.path.join(work, "serving", "judge")
-    finetune.main(["--tiny", "--no-pretrained", "--data-dir", unfiltered,
+    finetune.main([model_flag, "--no-pretrained", "--data-dir", unfiltered,
                    "--transform", judge_dir])
 
     # --- stage 2: self-filter (reference filter.py) -----------------------
@@ -206,25 +352,28 @@ def main(argv=None):
                        data_dir=unfiltered)
     judge_csv = os.path.join(work, "judge.csv")
     judge_self_acc = full_judge(predictor, unfiltered, judge_csv,
-                                progress=False)
+                                progress=False,
+                                canvas_cache="on" if args.scale == "pixiv"
+                                else "auto")
     del predictor
     filtered = os.path.join(work, "filtered")
     tot, kept = filter_csv(judge_csv, filtered)
-    kept_n, precision = filter_quality(filtered, truth)
+    kept_n, precision = filter_quality(filtered, truth, unfiltered)
     print(f"filter: kept {kept}/{tot}; label precision in kept set "
           f"{precision:.3f} (unfiltered tree has {1 - NOISE_FRACTION:.2f})",
           flush=True)
 
     # --- stage 3: all ablation presets ------------------------------------
+    batch_flag = ["--batch-size", batch] if args.scale == "pixiv" else []
     exports = []
     for preset, tree in PRESET_DATA.items():
         data = filtered if tree == "filtered" else unfiltered
         print(f"=== preset {preset} (data={tree}) ===", flush=True)
-        ntrain.main(["--preset", preset, "--tiny", "--no-pretrained",
-                     "--data-dir", data, "--no-resume", "--lr", "3e-3",
-                     *epochs_flag])
+        ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
+                     "--data-dir", data, "--no-resume", "--lr", lr,
+                     *batch_flag, *epochs_flag])
         export = os.path.join(work, "serving", preset)
-        ntrain.main(["--preset", preset, "--tiny", "--no-pretrained",
+        ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
                      "--data-dir", data, "--transform", export])
         exports.append((preset, "vit-base", export))
 
@@ -249,9 +398,11 @@ def main(argv=None):
         "filter_precision_above_tree":
             precision > 1 - NOISE_FRACTION,
     }
+    n_train = sum(f.endswith(".jpg") for _, _, fs in os.walk(unfiltered)
+                  for f in fs)
     meta = {
-        "classes": CLASSES, "train_per_class": TRAIN_PER_CLASS,
-        "test_per_class": TEST_PER_CLASS, "noise_fraction": NOISE_FRACTION,
+        "scale": args.scale, "train_images": n_train,
+        "noise_fraction": NOISE_FRACTION,
         "judge_self_acc": judge_self_acc,
         "filter_kept": kept, "filter_total": tot,
         "filter_precision": precision,

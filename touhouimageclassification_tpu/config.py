@@ -180,6 +180,10 @@ class ResNetConfig:
     num_classes: int = NUM_CLASSES
     zero_init_residual: bool = False
     image_size: int = 256
+    # BatchNorm statistics strategy: 'flax' (nn.BatchNorm, the default) or
+    # the ops/batchnorm.py variants 'batch'/'ghost'/'stale' — the BN-cost
+    # experiment knob (tools/bench_bn.py); checkpoints interchange freely
+    bn_variant: str = "flax"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,8 +20,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import ResNetConfig
+from ..ops.batchnorm import BatchNormVariant
 
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _norm_partial(bn_variant: str, train: bool, dtype) -> partial:
+    """BatchNorm factory: 'flax' is the shipped default; 'batch'/'ghost'/
+    'stale' are the BN-cost experiment variants (ops/batchnorm.py,
+    A/B'd by tools/bench_bn.py)."""
+    if bn_variant == "flax":
+        return partial(
+            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
+        )
+    return partial(
+        BatchNormVariant, variant=bn_variant, use_running_average=not train,
+        momentum=0.9, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
+    )
 
 
 class BasicBlock(nn.Module):
@@ -29,6 +45,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.bfloat16
     zero_init_residual: bool = False
+    bn_variant: str = "flax"
 
     expansion = 1
 
@@ -38,10 +55,7 @@ class BasicBlock(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=_KAIMING,
         )
-        norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )
+        norm = _norm_partial(self.bn_variant, train, self.dtype)
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides), name="conv1")(x)
         y = norm(name="bn1")(y)
@@ -65,6 +79,7 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dtype: Any = jnp.bfloat16
     zero_init_residual: bool = False
+    bn_variant: str = "flax"
 
     expansion = 4
 
@@ -74,10 +89,7 @@ class Bottleneck(nn.Module):
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=_KAIMING,
         )
-        norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )
+        norm = _norm_partial(self.bn_variant, train, self.dtype)
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
@@ -126,8 +138,7 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=dtype, param_dtype=jnp.float32, kernel_init=_KAIMING,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=dtype, param_dtype=jnp.float32, name="stem_bn")(x)
+        x = _norm_partial(self.cfg.bn_variant, train, dtype)(name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -139,6 +150,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     dtype=dtype,
                     zero_init_residual=self.cfg.zero_init_residual,
+                    bn_variant=self.cfg.bn_variant,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train=train)
 

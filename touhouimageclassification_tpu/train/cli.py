@@ -41,6 +41,13 @@ def resolve_normalize_stats(cfg: TrainConfig) -> TrainConfig:
 TINY_VIT_DIMS = dict(image_size=32, patch_size=16, hidden_size=32,
                      num_layers=1, num_heads=2, mlp_dim=64)
 
+# dims for --small runs: a real ViT (DeiT-Tiny-class) at the FULL 224 input,
+# so the whole augmentation/serve pipeline runs at production shapes while a
+# from-scratch model still fits Pixiv-scale corpora in minutes on one chip
+# (the pixiv-scale ablation grid's trainee, tools/ablation_grid.py)
+SMALL_VIT_DIMS = dict(image_size=224, patch_size=16, hidden_size=192,
+                      num_layers=6, num_heads=3, mlp_dim=768)
+
 
 def dataset_num_classes(cfg: TrainConfig) -> int:
     """Class count from the training data's class map (what serving will use

@@ -23,6 +23,9 @@ def main(argv=None, preset: str = "finetune_vit_base"):
     parser.add_argument("--no-pretrained", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
+    parser.add_argument("--small", action="store_true",
+                        help="DeiT-Tiny-class dims at the full 224 input "
+                             "(pixiv-scale grids on one chip)")
     args = parser.parse_args(argv)
     # before load_pretrained_backbone below: its Orbax restore initializes
     # the XLA backend, after which multi-host init hard-fails
@@ -36,6 +39,10 @@ def main(argv=None, preset: str = "finetune_vit_base"):
         from .cli import TINY_VIT_DIMS
 
         vcfg = dataclasses.replace(vcfg, **TINY_VIT_DIMS)
+    elif args.small:
+        from .cli import SMALL_VIT_DIMS
+
+        vcfg = dataclasses.replace(vcfg, **SMALL_VIT_DIMS)
     model = ViT(vcfg)
     init_params = None
     if cfg.pretrained and not args.no_pretrained:

@@ -32,6 +32,9 @@ def main(argv=None, preset: str = "nvit"):
                              "(full_finetune=False, ntrain.py:34-36)")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
+    parser.add_argument("--small", action="store_true",
+                        help="DeiT-Tiny-class dims at the full 224 input "
+                             "(pixiv-scale grids on one chip)")
     args = parser.parse_args(argv)
     # before load_pretrained_backbone below: its Orbax restore initializes
     # the XLA backend, after which multi-host init hard-fails
@@ -47,6 +50,10 @@ def main(argv=None, preset: str = "nvit"):
         from .cli import TINY_VIT_DIMS
 
         vcfg = dataclasses.replace(vcfg, **TINY_VIT_DIMS)
+    elif args.small:
+        from .cli import SMALL_VIT_DIMS
+
+        vcfg = dataclasses.replace(vcfg, **SMALL_VIT_DIMS)
     if args.remat:
         vcfg = dataclasses.replace(vcfg, remat=True)
     model = ViT(vcfg)
