@@ -70,15 +70,15 @@ def main():
     for p in range(passes):
         for v in VARIANTS:
             step_fn, state = runs[v]
-            _, m0 = step_fn(state, db)
+            # the train step donates its state buffers: always rebind
+            state, m0 = step_fn(state, db)
             float(m0["loss"])                     # sync before timing
             t0 = time.perf_counter()
-            s = state
             for _ in range(steps):
-                s, metrics = step_fn(s, db)
+                state, metrics = step_fn(state, db)
             float(metrics["loss"])                # host fetch = real sync
             rates[v].append(batch * steps / (time.perf_counter() - t0) / n_dev)
-            runs[v] = (step_fn, s)
+            runs[v] = (step_fn, state)
 
     out = {v: {"img_s_per_chip": round(max(r), 1),
                "all_passes": [round(x, 1) for x in r]}
