@@ -151,6 +151,10 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--canvas-cache", action="store_true",
+                   help="decode each image once into the dataset's canvas "
+                        "memmap (<data>/.tic_canvas_cache) and feed epochs "
+                        "from it — pays decode once, not per epoch")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--schedule", type=str, default=None,
                    choices=["constant", "warmup_linear", "step"])
@@ -174,6 +178,8 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
         over["max_epochs"] = args.max_epochs
     if args.batch_size:
         over["global_batch_size"] = args.batch_size
+    if getattr(args, "canvas_cache", False):
+        over["canvas_cache"] = True
     opt_over = {}
     if getattr(args, "lr", None):
         opt_over["learning_rate"] = args.lr
