@@ -286,6 +286,12 @@ def main(argv=None):
     ap.add_argument("--test-per-class", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None,
                     help="override the scale's batch size (CPU shakeout)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse completed stages found in --work (recovery "
+                         "from a crash or relay outage mid-grid): keeps the "
+                         "work dir, skips the judge/filter stages if their "
+                         "artifacts exist and every preset whose serving "
+                         "export is already present")
     args = ap.parse_args(argv)
 
     import jax
@@ -297,7 +303,8 @@ def main(argv=None):
     dirname = "ablation_fixture" if args.scale == "fixture" else "ablation_pixiv"
     out_dir = args.out or os.path.join(repo, "result", dirname)
     work = os.path.abspath(args.work or f"/tmp/tic_{dirname}")
-    shutil.rmtree(work, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(work, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     rng = np.random.default_rng(42)
@@ -337,31 +344,47 @@ def main(argv=None):
 
     from touhouimageclassification_tpu.train import finetune, ntrain
 
-    # --- stage 1: the filter judge (reference §3.4) -----------------------
-    print("=== judge finetune ===", flush=True)
-    finetune.main([model_flag, "--no-pretrained", "--data-dir", unfiltered,
-                   "--max-epochs", judge_epochs, "--batch-size", batch,
-                   "--no-resume", "--lr", judge_lr, "--schedule", "constant",
-                   *cache_flag])
     judge_dir = os.path.join(work, "serving", "judge")
-    finetune.main([model_flag, "--no-pretrained", "--data-dir", unfiltered,
-                   "--transform", judge_dir])
-
-    # --- stage 2: self-filter (reference filter.py) -----------------------
-    from touhouimageclassification_tpu.infer import serve as S
-    from touhouimageclassification_tpu.infer.filter import filter as filter_csv
-    from touhouimageclassification_tpu.infer.serve import full_judge
-
-    predictor = S.init(modelt="vit-base", weights=judge_dir,
-                       data_dir=unfiltered)
     judge_csv = os.path.join(work, "judge.csv")
-    judge_self_acc = full_judge(predictor, unfiltered, judge_csv,
-                                progress=False,
-                                canvas_cache="on" if args.scale == "pixiv"
-                                else "auto")
-    del predictor
     filtered = os.path.join(work, "filtered")
-    tot, kept = filter_csv(judge_csv, filtered)
+    have_judge = (args.resume and os.path.isdir(judge_dir)
+                  and os.path.exists(judge_csv) and os.path.isdir(filtered))
+    if have_judge:
+        # recovery path: recompute the stage-2 stats from its artifacts
+        import csv as _csv
+
+        with open(judge_csv, newline="") as f:
+            rows = list(_csv.reader(f))[1:]
+        tot = len(rows)
+        judge_self_acc = (sum(r[4] == "True" for r in rows) / tot
+                          if tot else 0.0)
+        kept = sum(f.endswith(".jpg") for _, _, fs in os.walk(filtered)
+                   for f in fs)
+        print(f"=== judge + filter reused from {work} ===", flush=True)
+    else:
+        # --- stage 1: the filter judge (reference §3.4) -------------------
+        print("=== judge finetune ===", flush=True)
+        finetune.main([model_flag, "--no-pretrained", "--data-dir",
+                       unfiltered, "--max-epochs", judge_epochs,
+                       "--batch-size", batch, "--no-resume",
+                       "--lr", judge_lr, "--schedule", "constant",
+                       *cache_flag])
+        finetune.main([model_flag, "--no-pretrained", "--data-dir",
+                       unfiltered, "--transform", judge_dir])
+
+        # --- stage 2: self-filter (reference filter.py) -------------------
+        from touhouimageclassification_tpu.infer import serve as S
+        from touhouimageclassification_tpu.infer.filter import \
+            filter as filter_csv
+
+        predictor = S.init(modelt="vit-base", weights=judge_dir,
+                           data_dir=unfiltered)
+        judge_self_acc = S.full_judge(predictor, unfiltered, judge_csv,
+                                      progress=False,
+                                      canvas_cache="on"
+                                      if args.scale == "pixiv" else "auto")
+        del predictor
+        tot, kept = filter_csv(judge_csv, filtered)
     kept_n, precision = filter_quality(filtered, truth, unfiltered)
     print(f"filter: kept {kept}/{tot}; label precision in kept set "
           f"{precision:.3f} (unfiltered tree has {1 - NOISE_FRACTION:.2f})",
@@ -372,11 +395,15 @@ def main(argv=None):
     exports = []
     for preset, tree in PRESET_DATA.items():
         data = filtered if tree == "filtered" else unfiltered
+        export = os.path.join(work, "serving", preset)
+        if args.resume and os.path.isdir(export) and os.listdir(export):
+            print(f"=== preset {preset} reused from {export} ===", flush=True)
+            exports.append((preset, "vit-base", export))
+            continue
         print(f"=== preset {preset} (data={tree}) ===", flush=True)
         ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
                      "--data-dir", data, "--no-resume", "--lr", lr,
                      *batch_flag, *epochs_flag, *cache_flag])
-        export = os.path.join(work, "serving", preset)
         ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
                      "--data-dir", data, "--transform", export])
         exports.append((preset, "vit-base", export))
