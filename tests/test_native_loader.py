@@ -395,11 +395,15 @@ def test_find_existing_canvas_with_fingerprint(tmp_path):
                              size=40)
     index = scan_image_folder(root, persist_class_map=False)
     canvas, fp = cc.find_existing_canvas(index, with_fingerprint=True)
-    assert canvas is None and isinstance(fp, str) and fp
+    # no cache dir -> nothing was statted: no fingerprint to hand over
+    # (CanvasCache(fingerprint=None) computes its own; billing every
+    # cache-less judge startup a full-corpus stat sweep is the regression
+    # this contract avoids)
+    assert canvas is None and fp is None
     c = cc.CanvasCache(index, (32, 32), fingerprint=fp)
     c.flush()
     canvas2, fp2 = cc.find_existing_canvas(index, with_fingerprint=True)
-    assert canvas2 == (32, 32) and fp2 == fp
+    assert canvas2 == (32, 32) and isinstance(fp2, str) and fp2
     assert cc.find_existing_canvas(index) == (32, 32)  # plain form unchanged
 
 

@@ -112,6 +112,28 @@ def test_resnet_trains_with_batchstats(dataset, tmp_path):
     assert any(np.abs(np.asarray(s)).sum() > 0 for s in stats)
 
 
+def test_resnet_stale_bn_trains_via_trainer(dataset, tmp_path):
+    """bn_variant='stale' (the +18.6%-on-chip opt-in, tools/bench_bn.py)
+    through the REAL Trainer: model_state threading, jit, and the EMA
+    update all compose — the integration the pure-numerics test in
+    test_models.py doesn't cover."""
+    cfg = _cfg(tmp_path, model_type="resnet18",
+               optimizer=OptimizerConfig(name="sgd", learning_rate=1e-2, schedule="step"),
+               augment=AugmentConfig(enable_augmentation=False), max_epochs=1)
+    model = resnet(18, num_classes=N_CLASSES, image_size=32, bn_variant="stale")
+    trainer = Trainer(cfg, model=model)
+    train, val = _loaders(dataset)
+    history = trainer.fit(train, val, resume=False)
+    assert np.isfinite(history[0]["train_loss"])
+    # running MEANS init to zero; nonzero after a step proves the EMA
+    # update ran inside the train step (var leaves init to one — no signal)
+    flat = jax.tree_util.tree_flatten_with_path(
+        trainer.state.model_state["batch_stats"])[0]
+    means = [np.asarray(v) for path, v in flat
+             if any(getattr(k, "key", "") == "mean" for k in path)]
+    assert means and any(np.abs(m).sum() > 0 for m in means)
+
+
 def test_mixup_path_in_trainer(dataset, tmp_path):
     cfg = _cfg(tmp_path, mix=MixConfig(enable_mixup=True), max_epochs=1)
     model = ViT(TINY)

@@ -217,3 +217,18 @@ def test_tree_tasks_do_not_touch_backend_at_construction():
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stderr
     assert "CLEAN" in out.stdout
+
+
+def test_cli_seed_override():
+    """--seed overrides the preset seed, including seed 0 (a falsy value a
+    plain `if args.seed` would drop); absent flag keeps the preset's."""
+    from touhouimageclassification_tpu.config import PRESETS
+    from touhouimageclassification_tpu.train.cli import (apply_overrides,
+                                                         standard_argparser)
+
+    p = standard_argparser("t")
+    assert apply_overrides(PRESETS["nvit"], p.parse_args([])).seed == 42
+    assert apply_overrides(PRESETS["nvit"],
+                           p.parse_args(["--seed", "7"])).seed == 7
+    assert apply_overrides(PRESETS["nvit"],
+                           p.parse_args(["--seed", "0"])).seed == 0

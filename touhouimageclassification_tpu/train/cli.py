@@ -156,6 +156,9 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
                         "memmap (<data>/.tic_canvas_cache) and feed epochs "
                         "from it — pays decode once, not per epoch")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override the preset seed (split/shuffle/init/"
+                        "augmentation streams — multi-seed A/Bs)")
     p.add_argument("--schedule", type=str, default=None,
                    choices=["constant", "warmup_linear", "step"])
     # multi-host launch (MULTIHOST.md): run the SAME command on every host.
@@ -180,6 +183,8 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
         over["global_batch_size"] = args.batch_size
     if getattr(args, "canvas_cache", False):
         over["canvas_cache"] = True
+    if getattr(args, "seed", None) is not None:
+        over["seed"] = args.seed
     opt_over = {}
     if getattr(args, "lr", None):
         opt_over["learning_rate"] = args.lr

