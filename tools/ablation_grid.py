@@ -286,6 +286,12 @@ def main(argv=None):
     ap.add_argument("--test-per-class", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None,
                     help="override the scale's batch size (CPU shakeout)")
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of seeds: each preset cell trains once "
+                         "per seed (isolated --train-id lineages) and the "
+                         "Table-3 orderings are asserted on the per-preset "
+                         "MEANS (VERDICT r4 #1). Default: one run at the "
+                         "preset seed.")
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed stages found in --work (recovery "
                          "from a crash or relay outage mid-grid): keeps the "
@@ -390,23 +396,35 @@ def main(argv=None):
           f"{precision:.3f} (unfiltered tree has {1 - NOISE_FRACTION:.2f})",
           flush=True)
 
-    # --- stage 3: all ablation presets ------------------------------------
+    # --- stage 3: all ablation presets (x seeds) ---------------------------
+    # Multi-seed protocol (VERDICT r4 #1): the judge/filter stage stays
+    # single-run so every seed trains on the IDENTICAL filtered tree — the
+    # seed then varies split/shuffle/init/augmentation streams only, and the
+    # orderings are evaluated on per-preset means.
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [None])
     batch_flag = ["--batch-size", batch] if args.scale == "pixiv" else []
     exports = []
     for preset, tree in PRESET_DATA.items():
         data = filtered if tree == "filtered" else unfiltered
-        export = os.path.join(work, "serving", preset)
-        if args.resume and os.path.isdir(export) and os.listdir(export):
-            print(f"=== preset {preset} reused from {export} ===", flush=True)
-            exports.append((preset, "vit-base", export))
-            continue
-        print(f"=== preset {preset} (data={tree}) ===", flush=True)
-        ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
-                     "--data-dir", data, "--no-resume", "--lr", lr,
-                     *batch_flag, *epochs_flag, *cache_flag])
-        ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
-                     "--data-dir", data, "--transform", export])
-        exports.append((preset, "vit-base", export))
+        for seed in seeds:
+            name = preset if seed is None else f"{preset}_s{seed}"
+            seed_flags = ([] if seed is None
+                          else ["--seed", str(seed), "--train-id", name])
+            export = os.path.join(work, "serving", name)
+            if args.resume and os.path.isdir(export) and os.listdir(export):
+                print(f"=== preset {name} reused from {export} ===",
+                      flush=True)
+                exports.append((name, "vit-base", export))
+                continue
+            print(f"=== preset {name} (data={tree}) ===", flush=True)
+            ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
+                         "--data-dir", data, "--no-resume", "--lr", lr,
+                         *batch_flag, *epochs_flag, *cache_flag, *seed_flags])
+            ntrain.main(["--preset", preset, model_flag, "--no-pretrained",
+                         "--data-dir", data, "--transform", export,
+                         *seed_flags])
+            exports.append((name, "vit-base", export))
 
     # --- stage 4: accuracy sweep through the reference harness ------------
     from touhouimageclassification_tpu.analysis.acc import run_sweep
@@ -420,14 +438,37 @@ def main(argv=None):
     for r in rows:
         print(f"{r['name']:28s} {r['acc']:.4f}", flush=True)
 
-    # --- orderings the reference table exhibits (report.pdf Table 3) ------
+    # per-preset mean +- std over seeds (single-seed runs: mean == the acc)
+    acc_mean, acc_std = {}, {}
+    for preset in PRESET_DATA:
+        vals = [accs[preset if s is None else f"{preset}_s{s}"]
+                for s in seeds]
+        acc_mean[preset] = float(np.mean(vals))
+        acc_std[preset] = float(np.std(vals))
+        if len(seeds) > 1:
+            print(f"{preset:28s} mean {acc_mean[preset]:.4f} "
+                  f"+- {acc_std[preset]:.4f}  {vals}", flush=True)
+
+    # --- orderings the reference table exhibits (report.pdf Table 3),
+    # evaluated on the per-preset means: the full recipe wins, filtering
+    # works, every augmentation ablation costs accuracy, and augmentation
+    # matters most on the noisy tree (VERDICT r4 #6: machine-check the full
+    # sign structure so a regression trips an assert, not a prose diff) ----
+    m = acc_mean
     checks = {
         "filtered_full_beats_noisy_unaug":
-            accs["nvit"] > accs["nvit_unfiltered_unaug"],
+            m["nvit"] > m["nvit_unfiltered_unaug"],
         "filtered_full_beats_noisy_full":
-            accs["nvit"] >= accs["nvit_unfiltered"],
+            m["nvit"] >= m["nvit_unfiltered"],
         "filter_precision_above_tree":
             precision > 1 - NOISE_FRACTION,
+        "full_beats_no_generalization": m["nvit"] > m["nvit_but_gen"],
+        "full_beats_no_divide": m["nvit"] > m["nvit_but_div"],
+        "full_beats_no_mixup": m["nvit"] >= m["nvit_but_mix"],
+        "full_beats_grey": m["nvit"] > m["nvit_grey"],
+        "unfiltered_aug_beats_unfiltered_unaug":
+            m["nvit_unfiltered"] > m["nvit_unfiltered_unaug"],
+        "full_is_best_cell": all(m["nvit"] >= v for v in m.values()),
     }
     n_train = sum(f.endswith(".jpg") for _, _, fs in os.walk(unfiltered)
                   for f in fs)
@@ -438,7 +479,10 @@ def main(argv=None):
         "filter_kept": kept, "filter_total": tot,
         "filter_precision": precision,
         "backend": jax.default_backend(),
-        "fast": args.fast, "accs": accs, "orderings": checks,
+        "fast": args.fast,
+        "seeds": seeds, "accs": accs,
+        "acc_mean": acc_mean, "acc_std": acc_std,
+        "orderings": checks,
     }
     with open(os.path.join(out_dir, "grid.json"), "w") as f:
         json.dump(meta, f, indent=1)

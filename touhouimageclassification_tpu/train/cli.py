@@ -159,6 +159,10 @@ def standard_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None,
                    help="override the preset seed (split/shuffle/init/"
                         "augmentation streams — multi-seed A/Bs)")
+    p.add_argument("--train-id", type=str, default=None,
+                   help="override the preset train_id (checkpoint/log "
+                        "lineage) — keeps multi-seed runs of one preset "
+                        "from sharing a checkpoint directory")
     p.add_argument("--schedule", type=str, default=None,
                    choices=["constant", "warmup_linear", "step"])
     # multi-host launch (MULTIHOST.md): run the SAME command on every host.
@@ -185,6 +189,8 @@ def apply_overrides(cfg: TrainConfig, args) -> TrainConfig:
         over["canvas_cache"] = True
     if getattr(args, "seed", None) is not None:
         over["seed"] = args.seed
+    if getattr(args, "train_id", None):
+        over["train_id"] = args.train_id
     opt_over = {}
     if getattr(args, "lr", None):
         opt_over["learning_rate"] = args.lr
