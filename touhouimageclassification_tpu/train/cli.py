@@ -255,6 +255,7 @@ def run(cfg: TrainConfig, args, model=None, task=None, param_filter=None,
                   "the VALIDATION split instead")
         result = trainer.test(test if test is not None else val)
         print(result)
+        trainer.last_test_result = result  # machine-readable for tools
         return trainer
 
     trainer.fit(train, val, resume=(args.restore or not args.no_resume))

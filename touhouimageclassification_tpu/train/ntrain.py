@@ -60,7 +60,7 @@ def main(argv=None, preset: str = "nvit"):
     init_params = None
     if cfg.pretrained and not args.no_pretrained:
         init_params = load_pretrained_backbone(cfg.model_type, vcfg.num_classes)
-    run(cfg, args, model=model, init_params=init_params)
+    return run(cfg, args, model=model, init_params=init_params)
 
 
 if __name__ == "__main__":

@@ -34,27 +34,35 @@ def main(argv=None):
                         help="shard experts over this many devices (EP)")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
+    parser.add_argument("--small", action="store_true",
+                        help="DeiT-Tiny-class expert dims at the full 224 "
+                             "input (pixiv-scale runs on one chip)")
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(PRESETS["resmoe"], args)
     cfg = dataclasses.replace(
         cfg, mesh=MeshConfig(num_expert_shards=args.expert_shards)
     )
-    tiny_vit = None
+    expert_vit = None
     if args.tiny:
         from ..config import ViTConfig
         from .cli import TINY_VIT_DIMS
 
-        tiny_vit = ViTConfig(**TINY_VIT_DIMS)
+        expert_vit = ViTConfig(**TINY_VIT_DIMS)
+    elif args.small:
+        from ..config import ViTConfig
+        from .cli import SMALL_VIT_DIMS
+
+        expert_vit = ViTConfig(**SMALL_VIT_DIMS)
     from .cli import dataset_num_classes
 
     moe_cfg = MoEConfig(num_experts=args.num_experts, top_k=args.top_k,
                         routing=args.routing,
                         dispatch_level=args.dispatch_level,
-                        expert_vit=tiny_vit,
+                        expert_vit=expert_vit,
                         num_classes=dataset_num_classes(cfg))
     model = MoEClassifier(moe_cfg)
-    run(cfg, args, model=model, task=MoETask(moe_cfg))
+    return run(cfg, args, model=model, task=MoETask(moe_cfg))
 
 
 if __name__ == "__main__":

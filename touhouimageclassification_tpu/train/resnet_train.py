@@ -28,7 +28,7 @@ def main(argv=None):
 
     model = resnet(args.depth, num_classes=dataset_num_classes(cfg),
                    bn_variant=args.bn_variant)
-    run(cfg, args, model=model)
+    return run(cfg, args, model=model)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MoEConfig, TreeViTConfig
+from ..ops import moe_dispatch as md
 from . import losses
 from .trainer import ClassificationTask
 
@@ -27,13 +28,31 @@ class MoETask(ClassificationTask):
         self.cfg = cfg
 
     def loss(self, outputs, soft_labels):
-        logits, gate_dense, _top_i = outputs
+        logits, gate_dense, top_i = outputs
         cls_loss = losses.symmetric_cross_entropy(
             logits, soft_labels, self.cfg.sce_alpha, self.cfg.sce_beta
         )
         bal_loss = losses.load_balance_loss(gate_dense)
         total = cls_loss + self.cfg.balance_loss_alpha * bal_loss
-        return total, {"classification_loss": cls_loss, "balance_loss": bal_loss}
+        aux = {"classification_loss": cls_loss, "balance_loss": bal_loss}
+        if self.cfg.routing == "sparse":
+            # routing-dynamics telemetry (per step, averaged per epoch in
+            # metrics.jsonl): per-expert assignment share spread and the
+            # fraction of routed copies the capacity dispatch drops —
+            # counts beyond an expert's capacity lose their slot
+            # (ops/moe_dispatch.py make_dispatch_plan)
+            b = gate_dense.shape[0]
+            counts = jnp.zeros((self.cfg.num_experts,), jnp.float32).at[
+                top_i.reshape(-1)].add(1.0)
+            capacity = md.capacity_for(b, self.cfg.top_k,
+                                       self.cfg.num_experts,
+                                       self.cfg.capacity_factor)
+            load = counts / (b * self.cfg.top_k)
+            aux["drop_frac"] = (jnp.sum(jnp.maximum(counts - capacity, 0.0))
+                                / (b * self.cfg.top_k))
+            aux["expert_load_max"] = jnp.max(load)
+            aux["expert_load_min"] = jnp.min(load)
+        return total, aux
 
     def logits(self, outputs):
         return outputs[0]

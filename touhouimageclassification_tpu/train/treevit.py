@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=2)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
+    parser.add_argument("--small", action="store_true",
+                        help="DeiT-Tiny-class dims at the full 224 input "
+                             "(pixiv-scale runs on one chip)")
     args = parser.parse_args(argv)
 
     base_cfg = apply_overrides(PRESETS["treevit"], args)
@@ -91,17 +94,22 @@ def main(argv=None):
     class_to_category = make_class_to_category(map_dict, index.class_to_idx)
     num_categories = int(class_to_category.max()) + 1
 
-    tiny_vit = None
+    node_vit = None
     if args.tiny:
         from ..config import ViTConfig
         from .cli import TINY_VIT_DIMS
 
-        tiny_vit = ViTConfig(**TINY_VIT_DIMS)
+        node_vit = ViTConfig(**TINY_VIT_DIMS)
+    elif args.small:
+        from ..config import ViTConfig
+        from .cli import SMALL_VIT_DIMS
+
+        node_vit = ViTConfig(**SMALL_VIT_DIMS)
     tree_cfg = TreeViTConfig(
         num_categories=num_categories,
         num_classes=len(index.classes),
         top_k=args.top_k,
-        vit=tiny_vit,
+        vit=node_vit,
     )
     model = TreeViT(tree_cfg)
 
@@ -132,6 +140,7 @@ def main(argv=None):
             import jax
 
             prev_params = jax.device_get(trainer.state.params)
+    return trainer
 
 
 if __name__ == "__main__":
