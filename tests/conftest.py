@@ -72,6 +72,26 @@ QUICK_TESTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# TIC_COV=1: line coverage of the package via tools/linecov.py (PEP 669 —
+# coverage.py is not installed on this box). Written to result/coverage.json
+# at session end; render with `python tools/linecov.py report`.
+# ---------------------------------------------------------------------------
+_COV = None
+if os.environ.get("TIC_COV") == "1":
+    sys.path.insert(0, os.path.join(_ROOT, "tools"))
+    from linecov import Collector
+
+    _COV = Collector([os.path.join(_ROOT, "touhouimageclassification_tpu")])
+    _COV.start()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _COV is not None:
+        _COV.stop()
+        _COV.write(os.path.join(_ROOT, "result", "coverage.json"))
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         base = os.path.basename(str(item.fspath))
