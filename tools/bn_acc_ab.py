@@ -54,6 +54,9 @@ def main(argv=None):
     ap.add_argument("--work", default="/tmp/tic_bn_acc_ab")
     ap.add_argument("--fast", action="store_true",
                     help="tiny corpus + 2 epochs (CPU shakeout)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep --work and skip (variant, seed) cells whose "
+                         "row file already exists (relay-outage recovery)")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,7 +78,10 @@ def main(argv=None):
         os.path.abspath(args.corpus), rng, p["classes"],
         p["train_per_class"], p["test_per_class"], p["height"], p["width"])
 
-    shutil.rmtree(args.work, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(args.work, ignore_errors=True)
+    rows_dir = os.path.join(args.work, "rows")
+    os.makedirs(rows_dir, exist_ok=True)
     os.environ["TIC_CHECKPOINT_DIR"] = os.path.join(args.work, "checkpoint")
     os.environ["TIC_LOG_DIR"] = os.path.join(args.work, "log")
     import touhouimageclassification_tpu.config as C
@@ -104,6 +110,13 @@ def main(argv=None):
     rows = []
     for variant in variants:
         for seed in seeds:
+            row_path = os.path.join(rows_dir, f"{variant}_s{seed}.json")
+            if args.resume and os.path.exists(row_path):
+                with open(row_path) as f:
+                    rows.append(json.load(f))
+                print(f"== {variant} seed {seed} reused from {row_path}",
+                      flush=True)
+                continue
             cfg = dataclasses.replace(
                 base, train_id=f"bnab_{variant}_s{seed}", seed=seed)
             model = resnet(args.depth, num_classes=n_classes,
@@ -115,12 +128,16 @@ def main(argv=None):
             row = {
                 "variant": variant, "seed": seed,
                 "epochs_run": len(hist),
-                "best_val_acc": max(h["val_acc"] for h in hist),
-                "final_val_acc": hist[-1]["val_acc"],
-                "final_train_loss": hist[-1]["train_loss"],
-                "test_acc": res["test_acc"], "test_loss": res["test_loss"],
+                "best_val_acc": float(max(h["val_acc"] for h in hist)),
+                "final_val_acc": float(hist[-1]["val_acc"]),
+                "final_train_loss": float(hist[-1]["train_loss"]),
+                "test_acc": float(res["test_acc"]),
+                "test_loss": float(res["test_loss"]),
             }
             rows.append(row)
+            with open(row_path + ".tmp", "w") as f:
+                json.dump(row, f)
+            os.replace(row_path + ".tmp", row_path)
             print(f"== {variant} seed {seed}: test_acc {row['test_acc']:.4f} "
                   f"best_val {row['best_val_acc']:.4f} "
                   f"({row['epochs_run']} epochs)", flush=True)

@@ -103,6 +103,10 @@ def main(argv=None):
                          "mirrors the reference WIP and underfits)")
     ap.add_argument("--fast", action="store_true",
                     help="tiny corpus + tiny dims + 2 epochs (CPU shakeout)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep --work and skip families whose per-family "
+                         "row file already exists (recovery from a relay "
+                         "outage mid-comparison)")
     args = ap.parse_args(argv)
 
     import jax
@@ -123,7 +127,10 @@ def main(argv=None):
         os.path.abspath(args.corpus), rng, p["classes"],
         p["train_per_class"], p["test_per_class"], p["height"], p["width"])
 
-    shutil.rmtree(args.work, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(args.work, ignore_errors=True)
+    rows_dir = os.path.join(args.work, "rows")
+    os.makedirs(rows_dir, exist_ok=True)
     os.environ["TIC_CHECKPOINT_DIR"] = os.path.join(args.work, "checkpoint")
     os.environ["TIC_LOG_DIR"] = os.path.join(args.work, "log")
     os.environ["TIC_TEST_DIR"] = testset
@@ -180,6 +187,12 @@ def main(argv=None):
     rows = []
     for fam in args.families.split(","):
         spec = runs[fam]
+        row_path = os.path.join(rows_dir, f"{fam}.json")
+        if args.resume and os.path.exists(row_path):
+            with open(row_path) as f:
+                rows.append(json.load(f))
+            print(f"=== family {fam} reused from {row_path} ===", flush=True)
+            continue
         print(f"=== family {fam}: {spec['note']} ===", flush=True)
         spec["mod"].main(spec["fit"])
         test_args = spec.get("test_extra",
@@ -200,6 +213,9 @@ def main(argv=None):
             row["routing"] = routing_stats(trainer, train_loader)
             print(f"routing: {json.dumps(row['routing'])}", flush=True)
         rows.append(row)
+        with open(row_path + ".tmp", "w") as f:
+            json.dump(row, f)
+        os.replace(row_path + ".tmp", row_path)
         print(f"== {fam}: test_acc {row['test_acc']:.4f}", flush=True)
 
     accs = {r["family"]: r["test_acc"] for r in rows}
