@@ -136,6 +136,41 @@ def test_moe_losses():
         losses.load_balance_loss(skewed))
 
 
+def test_moe_task_routing_telemetry():
+    """Sparse MoETask.loss emits drop_frac/expert_load_* aux telemetry with
+    the dispatch plan's exact capacity semantics (train/tasks.py)."""
+    from touhouimageclassification_tpu.train.tasks import MoETask
+
+    b, e, k = 8, 4, 2
+    cfg = MoEConfig(num_experts=e, top_k=k, routing="sparse",
+                    capacity_factor=1.0, num_classes=6, expert_vit=TINY_VIT)
+    task = MoETask(cfg)
+    logits = jax.random.normal(jax.random.key(0), (b, 6))
+    targets = jax.nn.one_hot(jnp.arange(b) % 6, 6)
+    gate = jax.nn.softmax(jax.random.normal(jax.random.key(1), (b, e)))
+
+    # everything routed to expert 0: capacity = B*K/E*1.0 = 4 slots, so
+    # 16 routed copies lose 12 and expert 0 carries 100% of the load
+    top_all0 = jnp.zeros((b, k), jnp.int32)
+    _, aux = task.loss((logits, gate, top_all0), targets)
+    cap = md.capacity_for(b, k, e, cfg.capacity_factor)
+    assert float(aux["drop_frac"]) == pytest.approx((b * k - cap) / (b * k))
+    assert float(aux["expert_load_max"]) == pytest.approx(1.0)
+    assert float(aux["expert_load_min"]) == pytest.approx(0.0)
+
+    # perfectly balanced routing at factor 1.0 drops nothing
+    top_bal = (jnp.arange(b * k).reshape(b, k)) % e
+    _, aux = task.loss((logits, gate, top_bal), targets)
+    assert float(aux["drop_frac"]) == 0.0
+    assert float(aux["expert_load_max"]) == pytest.approx(1.0 / e)
+    assert float(aux["expert_load_min"]) == pytest.approx(1.0 / e)
+
+    # dense routing emits no telemetry keys (nothing is dispatched)
+    dense = MoETask(dataclasses.replace(cfg, routing="dense"))
+    _, aux = dense.loss((logits, gate, top_all0), targets)
+    assert "drop_frac" not in aux
+
+
 # ---------------------------------------------------------------------------
 # TreeViT
 # ---------------------------------------------------------------------------
