@@ -74,6 +74,9 @@ def main(argv=None):
         if args.corpus == ap.get_default("corpus"):
             args.corpus = "/tmp/tic_bn_acc_ab_fast_corpus"  # keep the shared
             # persistent corpus free of tiny shakeout trees
+        if args.work == ap.get_default("work"):
+            # and keep shakeout rows out of a later chip run's --resume
+            args.work = "/tmp/tic_bn_acc_ab_fast"
     unfiltered, testset, _ = make_fixture_pixiv(
         os.path.abspath(args.corpus), rng, p["classes"],
         p["train_per_class"], p["test_per_class"], p["height"], p["width"])

@@ -123,6 +123,9 @@ def main(argv=None):
                  height=96, width=128)
         if args.corpus == ap.get_default("corpus"):
             args.corpus = "/tmp/tic_family_fast_corpus"
+        if args.work == ap.get_default("work"):
+            # keep shakeout rows out of a later chip run's --resume
+            args.work = "/tmp/tic_family_fast_work"
     unfiltered, testset, _ = make_fixture_pixiv(
         os.path.abspath(args.corpus), rng, p["classes"],
         p["train_per_class"], p["test_per_class"], p["height"], p["width"])
