@@ -21,6 +21,12 @@ inference-mode BN does). Variants, A/B'd on chip by ``tools/bench_bn.py``:
   into the conv epilogue) while still measuring the batch moments to
   update the EMA. Removes the reduce→normalize serialization entirely at
   the price of normalizing by slightly stale (EMA, momentum 0.9) stats.
+  **Throughput-only** (+18.6% on the ResNet-152 step, ``tools/bench_bn``):
+  the accuracy A/B (``tools/bn_acc_ab.py``, chip, 3 seeds) shows scratch
+  training DIVERGES under it — early in training the EMA lags the
+  drifting activation statistics and the error compounds across the
+  stacked BNs until the loss overflows (all seeds NaN, chance accuracy).
+  Use for step-time studies, never for from-scratch training.
 
 Reference anchor: BN is half the layer count of the reference's ResNet
 (``TIC/ResNet/model.py:296``); torch trains it with cuDNN's fused
