@@ -82,7 +82,9 @@ if os.environ.get("TIC_COV") == "1":
     sys.path.insert(0, os.path.join(_ROOT, "tools"))
     from linecov import Collector
 
-    _COV = Collector([os.path.join(_ROOT, "touhouimageclassification_tpu")])
+    _COV = Collector([os.path.join(_ROOT, d) for d in
+                      ("touhouimageclassification_tpu", "web", "crawler",
+                       "reviewer", "analysis")])
     _COV.start()
 
 

@@ -219,3 +219,68 @@ def test_crawler_next_free_index(tmp_path):
     # count=5 would have clobbered 70.jpg; the free index is past ALL stems
     assert next_free_index(str(d)) == 100
     assert next_free_index(str(tmp_path / "missing")) == 0
+
+
+class _TagPageDriver:
+    """Fake selenium driver for the tag-count scrape: serves a meta
+    description per tag URL (th_name_process.get_illust_description_by_tag
+    reads only page_source after get + scrolls)."""
+
+    def __init__(self, descriptions):
+        self.descriptions = descriptions
+        self.tag = None
+
+    def get(self, url):
+        # .../tags/<tag>/artworks
+        self.tag = url.rstrip("/").split("/")[-2]
+
+    def execute_script(self, script):
+        pass
+
+    @property
+    def page_source(self):
+        des = self.descriptions.get(self.tag, "")
+        return f'<html><head><meta name="description" content="{des}">' \
+               f"</head><body></body></html>"
+
+
+def test_th_name_scrape_picks_max_count_franchise_tag(tmp_path, monkeypatch):
+    """The preprocessor keeps, per character row, the candidate tag with the
+    most artworks whose description mentions the franchise tag
+    (reference crawler/th_name_process.py main loop)."""
+    import crawler.th_name_process as tnp
+
+    monkeypatch.setattr(tnp.time, "sleep", lambda s: None)
+    driver = _TagPageDriver({
+        "博丽灵梦": "东方Project 的作品有1,200件",
+        "霊夢": "东方Project 的作品有3,400件",
+        "reimu": "unrelated page with 9999件",  # no franchise tag -> ignored
+        "雾雨魔理沙": "东方Project 的作品有50件",
+    })
+    rows = [
+        {"CH": "博丽灵梦", "JP": "霊夢", "EN": "reimu"},
+        {"CH": "雾雨魔理沙", "JP": "", "EN": ""},
+    ]
+    out_csv = tmp_path / "processed.csv"
+    out = tnp.filter_tags_by_count_and_related_tags_saving_to(
+        rows, "东方Project", str(out_csv), driver=driver)
+    assert out == [
+        {"name": "博丽灵梦", "keyword": "霊夢", "cnt": 3400},
+        {"name": "雾雨魔理沙", "keyword": "雾雨魔理沙", "cnt": 50},
+    ]
+    lines = out_csv.read_text(encoding="utf-8").splitlines()
+    assert lines[0] == "name,keyword,cnt"
+    assert lines[1] == "博丽灵梦,霊夢,3400"
+
+
+def test_th_name_preprocess_end_to_end(tmp_path, monkeypatch):
+    import crawler.th_name_process as tnp
+
+    monkeypatch.setattr(tnp.time, "sleep", lambda s: None)
+    raw = tmp_path / "raw.csv"
+    raw.write_text("CH,JP,EN\n东风谷早苗,早苗,sanae\n", encoding="utf-8")
+    driver = _TagPageDriver({"早苗": "东方Project 的作品有77件"})
+    monkeypatch.setattr(tnp, "_make_driver", lambda: driver)
+    target = tmp_path / "processed.csv"
+    tnp.preprocess("东方Project", str(raw), str(target))
+    assert "东风谷早苗,早苗,77" in target.read_text(encoding="utf-8")

@@ -45,9 +45,15 @@ def load_pretrained_backbone(model_type: str, num_classes: int,
     safe = hf_name.replace("/", "--")
     cfg = vit_config(model_type)
 
-    # 1) converted Orbax params dir
+    # 1) converted Orbax params dir. Checked by CONTENT, not just name: a
+    # raw HF snapshot dropped at this exact path (it is where utils/convert
+    # writes, so a natural place to put one) must fall through to the
+    # snapshot scan below rather than crash Orbax's restore with an opaque
+    # missing-_METADATA error.
     orbax_dir = os.path.join(cache_dir, safe)
-    if os.path.isdir(orbax_dir) and os.listdir(orbax_dir):
+    if any(os.path.exists(os.path.join(orbax_dir, marker))
+           for marker in ("_METADATA", "_CHECKPOINT_METADATA",
+                          "manifest.ocdbt")):
         from ..train.checkpoint import load_params
 
         restored = load_params(orbax_dir)
@@ -59,6 +65,7 @@ def load_pretrained_backbone(model_type: str, num_classes: int,
         os.path.join(cache_dir, f"models--{safe}"),
         os.path.join(cache_dir, hf_name),
         os.path.join(cache_dir, os.path.basename(hf_name)),
+        orbax_dir,
     ]
     for cand in candidates:
         if not os.path.isdir(cand):
