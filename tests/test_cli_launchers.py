@@ -77,11 +77,17 @@ def test_resmoe_cli_sparse_tiny(workdir, corpus):
                            "--num-experts", "4", "--top-k", "2",
                            *_common(corpus)])
     assert trainer.state is not None
-    # the MoE task logs routing telemetry on sparse runs
+    # sparse runs persist per-epoch routing telemetry in metrics.jsonl
+    # (task aux scalars are epoch-averaged by the trainer's single-fetch
+    # scalar path)
     rows = [json.loads(l)
             for l in open(os.path.join("log", "ResMoE", "metrics.jsonl"))]
     epoch_rows = [r for r in rows if "train_loss" in r]
     assert epoch_rows, rows
+    for key in ("balance_loss", "classification_loss", "drop_frac",
+                "expert_load_max", "expert_load_min", "grad_norm"):
+        assert key in epoch_rows[-1], (key, epoch_rows[-1])
+    assert 0.0 <= epoch_rows[-1]["drop_frac"] <= 1.0
 
 
 def test_pretrain_cli_is_scratch_finetune(workdir, corpus):

@@ -311,3 +311,91 @@ def test_treevit_dense_eval_matches_ample_capacity_and_never_drops():
     np.testing.assert_allclose(np.asarray(kept_amp), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_amp), np.asarray(combined_d),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_switch_balance_loss_math():
+    """Switch aux loss (losses.switch_load_balance_loss): 1.0 at a uniform
+    router, grows toward E under collapse, and its gradient pushes the
+    router's probability mass OFF the overloaded experts (the property the
+    reference's quadratic penalty lacks on selected-assignment collapse)."""
+    E, B, K = 4, 8, 2
+    uniform = jnp.full((B, E), 1.0 / E)
+    # a perfectly balanced hard assignment
+    balanced_idx = jnp.array([[i % E, (i + 1) % E] for i in range(B)])
+    val_u = float(losses.switch_load_balance_loss(uniform, balanced_idx, E))
+    np.testing.assert_allclose(val_u, 1.0, rtol=1e-6)
+
+    # collapse: all assignments AND all probability on experts {0, 1}
+    coll_gate = jnp.tile(jnp.array([[0.5, 0.5, 0.0, 0.0]]), (B, 1))
+    coll_idx = jnp.tile(jnp.array([[0, 1]]), (B, 1))
+    val_c = float(losses.switch_load_balance_loss(coll_gate, coll_idx, E))
+    assert val_c == pytest.approx(E / 2, rel=1e-6)  # f=p=1/2 on two experts
+    assert val_c > val_u
+
+    # gradient direction: d(loss)/d(gate prob) is positive exactly on the
+    # overloaded experts -> gradient descent reduces their router mass
+    g = jax.grad(lambda gw: losses.switch_load_balance_loss(
+        gw, coll_idx, E))(coll_gate)
+    g = np.asarray(g)
+    assert (g[:, :2] > 0).all() and (g[:, 2:] == 0).all()
+
+
+def test_moe_task_switch_balance_wiring():
+    """MoETask picks the switch loss when the config asks for it."""
+    import dataclasses
+
+    from touhouimageclassification_tpu.config import MoEConfig
+    from touhouimageclassification_tpu.train.tasks import MoETask
+
+    cfg = MoEConfig(num_experts=4, top_k=2, routing="sparse",
+                    num_classes=6, balance_loss="switch",
+                    balance_loss_alpha=1.0)
+    task = MoETask(cfg)
+    logits = jax.random.normal(jax.random.key(0), (8, 6))
+    targets = jax.nn.one_hot(jnp.arange(8) % 6, 6)
+    coll_gate = jnp.tile(jnp.array([[0.5, 0.5, 0.0, 0.0]]), (8, 1))
+    coll_idx = jnp.tile(jnp.array([[0, 1]]), (8, 1))
+    total_sw, aux_sw = task.loss((logits, coll_gate, coll_idx), targets)
+    # switch penalty on this collapse is E/2 = 2 ...
+    assert float(aux_sw["balance_loss"]) == pytest.approx(2.0, rel=1e-5)
+    # ... while the quadratic penalty reads sum(p_e^2) = 0.5
+    quad_task = MoETask(dataclasses.replace(cfg, balance_loss="quadratic"))
+    _, aux_q = quad_task.loss((logits, coll_gate, coll_idx), targets)
+    assert float(aux_q["balance_loss"]) == pytest.approx(0.5, rel=1e-5)
+
+
+def test_gate_for_loss_view_depends_on_balance_loss():
+    """With balance_loss='switch' the model's second output is the FULL
+    router softmax (mass and gradient on unselected experts); with the
+    reference 'quadratic' it stays the scattered top-k weights (zeros
+    outside the selection) — the structural difference behind the
+    collapse study (models/resmoe.py GatingNetwork)."""
+    import dataclasses
+
+    from touhouimageclassification_tpu.config import MoEConfig, ViTConfig
+    from touhouimageclassification_tpu.models.resmoe import MoEClassifier
+
+    tiny = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                     num_layers=1, num_heads=2, mlp_dim=64, num_classes=5)
+    base = MoEConfig(num_experts=4, top_k=2, routing="sparse",
+                     num_classes=5, expert_vit=tiny)
+    x = jax.random.normal(jax.random.key(0), (8, 32, 32, 3))
+
+    quad = MoEClassifier(base, compute_dtype="float32")
+    params = quad.init(jax.random.key(1), x)
+    _, gate_q, top_q = quad.apply(params, x)
+    # scattered top-k: exactly K nonzeros per row, rows sum to 1
+    assert int(np.count_nonzero(np.asarray(gate_q), axis=1).max()) <= 2
+    np.testing.assert_allclose(np.asarray(gate_q).sum(1), 1.0, rtol=1e-5)
+
+    sw = MoEClassifier(dataclasses.replace(base, balance_loss="switch"),
+                       compute_dtype="float32")
+    logits_s, gate_s, top_s = sw.apply(params, x)  # same params apply
+    g = np.asarray(gate_s)
+    np.testing.assert_allclose(g.sum(1), 1.0, rtol=1e-5)
+    # full softmax: every expert carries probability mass
+    assert (g > 0).all()
+    # the combine itself is unchanged by the loss view
+    logits_q, _, _ = quad.apply(params, x)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_q),
+                               rtol=1e-5, atol=1e-6)

@@ -63,7 +63,7 @@ def main():
     @jax.jit
     def run_gate(gp, x):
         def body(_, x):
-            w, i = gate.apply({"params": gp}, x, deterministic=True)
+            w, i, _probs = gate.apply({"params": gp}, x, deterministic=True)
             return x + jnp.mean(w) * 1e-6
         return jax.lax.fori_loop(0, REPS, body, x)
 

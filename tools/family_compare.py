@@ -98,6 +98,17 @@ def main(argv=None):
                     help="scratch LR for the ViT run (the nvit preset's "
                          "1e-5 is a pretrained-backbone rate)")
     ap.add_argument("--moe-epochs", type=int, default=None)
+    ap.add_argument("--moe-balance-loss", default=None,
+                    choices=["quadratic", "switch"],
+                    help="override the ResMoE gate balance penalty "
+                         "(default: the preset's reference quadratic)")
+    ap.add_argument("--moe-balance-alpha", default=None,
+                    help="override the balance-loss mix weight")
+    ap.add_argument("--moe-gateway-t", default=None,
+                    help="override the gate's training noise scale")
+    ap.add_argument("--out", default="family_compare.json",
+                    help="output filename under result/ (set for balance-"
+                         "loss A/Bs so the main comparison isn't clobbered)")
     ap.add_argument("--tree-epochs", type=int, default=6,
                     help="epochs per TreeViT stage (the preset's 2/stage "
                          "mirrors the reference WIP and underfits)")
@@ -176,6 +187,12 @@ def main(argv=None):
         "resmoe_sparse": dict(
             mod=resmoe,
             fit=["--routing", "sparse", dims, "--batch-size", batch,
+                 *(["--balance-loss", args.moe_balance_loss]
+                   if args.moe_balance_loss else []),
+                 *(["--balance-alpha", str(args.moe_balance_alpha)]
+                   if args.moe_balance_alpha is not None else []),
+                 *(["--gateway-t", str(args.moe_gateway_t)]
+                   if args.moe_gateway_t is not None else []),
                  *common, *moe_epochs],
             note="sparse top-2-of-8 MoE of DeiT-Tiny-class experts, "
                  "resmoe preset objective (symmetric CE + load balance)"),
@@ -267,7 +284,10 @@ def main(argv=None):
         "classes": p["classes"],
         "rows": rows, "orderings": orderings,
     }
-    out = os.path.join(_REPO, "result", "family_compare.json")
+    if args.moe_balance_loss or args.moe_balance_alpha is not None:
+        meta["moe_balance_loss"] = args.moe_balance_loss or "quadratic"
+        meta["moe_balance_alpha"] = args.moe_balance_alpha
+    out = os.path.join(_REPO, "result", args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(meta, f, indent=1)

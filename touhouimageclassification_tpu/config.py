@@ -211,6 +211,11 @@ class MoEConfig:
     #             images and the patch embed stays a full-batch matmul
     dispatch_level: str = "feature"
     balance_loss_alpha: float = 0.5  # total_loss mix (TIC/ResMoE/train.py:36)
+    # 'quadratic' = reference parity (TIC/ResMoE/train.py:26-28);
+    # 'switch' = Switch-Transformer aux loss (train/losses.py) — measured
+    # opt-in that prevents the winner-take-all collapse the quadratic
+    # penalty allows at small scale (RESULTS.md cross-family section)
+    balance_loss: str = "quadratic"
     sce_alpha: float = 0.1          # symmetric CE (TIC/ResMoE/train.py:21)
     sce_beta: float = 1.0
     # architecture override for experts/gate (None = expert_model_name's ViT);

@@ -101,7 +101,16 @@ class GatingNetwork(nn.Module):
             noise = jax.random.normal(self.make_rng("gate"), logits.shape)
             logits = logits + noise * self.cfg.gateway_t
         top_w, top_i = jax.lax.top_k(logits, self.cfg.top_k)
-        return jax.nn.softmax(top_w, axis=-1), top_i
+        # full-softmax router probabilities over ALL experts, alongside the
+        # reference's top-k-renormalized combine weights. The distinction is
+        # load-bearing: a softmax over only the SELECTED logits carries zero
+        # probability (and zero gradient) for unselected experts, so no
+        # balance penalty computed from it can ever redistribute load —
+        # collapse is absorbing by construction (measured on chip: the
+        # quadratic penalty at 10x its reference weight cannot move a
+        # collapsed gate; RESULTS.md ResMoE balance study).
+        router_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jax.nn.softmax(top_w, axis=-1), top_i, router_probs
 
 
 class _FeatureDispatchViT(ViT):
@@ -129,15 +138,22 @@ class MoEClassifier(nn.Module):
         # incoming batch is data-sharded only, which would leave the gate
         # replicated across the expert axis)
         x_gate = _constrain(x, ("data", "expert"))
-        gate_w, top_i = GatingNetwork(cfg, self.compute_dtype, name="gate")(
-            x_gate, deterministic=deterministic
-        )
-        # dense (B, E) gate matrix — returned for the load-balance loss
-        # (scatter of top-k weights, TIC/ResMoE/model.py:53-54)
+        gate_w, top_i, router_probs = GatingNetwork(
+            cfg, self.compute_dtype, name="gate"
+        )(x_gate, deterministic=deterministic)
+        # dense (B, E) gate matrix for the COMBINE and the reference's
+        # quadratic balance loss (scatter of top-k weights,
+        # TIC/ResMoE/model.py:53-54)
         gate_dense = jnp.zeros((b, cfg.num_experts), gate_w.dtype)
         gate_dense = gate_dense.at[
             jnp.arange(b)[:, None], top_i
         ].set(gate_w)
+        # the balance-loss view of the router: the switch loss needs the
+        # FULL softmax (gradient must reach unselected experts — see
+        # GatingNetwork); the quadratic penalty keeps reference parity on
+        # the scattered top-k weights
+        gate_for_loss = (router_probs if cfg.balance_loss == "switch"
+                         else gate_dense)
 
         ExpertStack = nn.vmap(
             ViT,
@@ -193,7 +209,7 @@ class MoEClassifier(nn.Module):
             combined = md.combine(
                 plan, expert_logits.astype(jnp.float32), gate_w, b
             )
-        return combined, gate_dense, top_i
+        return combined, gate_for_loss, top_i
 
 
 def make_vit_moe(num_classes: int, num_experts: int = 8, top_k: int = 2,

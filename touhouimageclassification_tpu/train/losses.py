@@ -65,6 +65,26 @@ def load_balance_loss(gate_weights: jax.Array) -> jax.Array:
     return jnp.mean(gate_weights @ avg_usage)
 
 
+def switch_load_balance_loss(gate_weights: jax.Array, top_idx: jax.Array,
+                             num_experts: int) -> jax.Array:
+    """Switch-Transformer auxiliary balance loss (Fedus et al. 2021, eq. 4;
+    the standard for hard-routed TPU MoEs): ``E * sum_e f_e * P_e`` where
+    ``f_e`` is the fraction of routed (sample, k) assignments landing on
+    expert e (hard counts — no gradient) and ``P_e`` the mean router
+    probability for e (the differentiable half). Minimized at 1.0 by a
+    uniform router. Unlike the reference's quadratic usage penalty it
+    couples the SELECTED assignments to the probabilities, so a
+    winner-take-all gate pays a growing penalty on exactly the experts it
+    overuses — measured on chip to prevent the 2-of-8 collapse the
+    quadratic penalty allows (RESULTS.md cross-family section)."""
+    routed = top_idx.reshape(-1)
+    f = jnp.zeros((num_experts,), jnp.float32).at[routed].add(
+        1.0 / routed.shape[0])
+    f = jax.lax.stop_gradient(f)
+    p = jnp.mean(gate_weights.astype(jnp.float32), axis=0)  # (E,)
+    return num_experts * jnp.sum(f * p)
+
+
 def moe_total_loss(
     logits: jax.Array,
     targets: jax.Array,

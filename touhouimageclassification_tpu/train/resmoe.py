@@ -32,6 +32,19 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=2)
     parser.add_argument("--expert-shards", type=int, default=1,
                         help="shard experts over this many devices (EP)")
+    parser.add_argument("--balance-loss", type=str, default="quadratic",
+                        choices=["quadratic", "switch"],
+                        help="gate balance penalty: reference quadratic "
+                             "usage penalty, or the Switch-Transformer aux "
+                             "loss (prevents gate collapse at small scale)")
+    parser.add_argument("--balance-alpha", type=float, default=None,
+                        help="balance-loss mix weight (default: preset's "
+                             "0.5)")
+    parser.add_argument("--gateway-t", type=float, default=None,
+                        help="training-time gate logit noise scale "
+                             "(reference default 0.01; the balance study "
+                             "raises it to flip top-k selections out of a "
+                             "collapsed equilibrium)")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny ViT dims (CI/CPU smoke runs)")
     parser.add_argument("--small", action="store_true",
@@ -60,7 +73,13 @@ def main(argv=None):
                         routing=args.routing,
                         dispatch_level=args.dispatch_level,
                         expert_vit=expert_vit,
+                        balance_loss=args.balance_loss,
                         num_classes=dataset_num_classes(cfg))
+    if args.balance_alpha is not None:
+        moe_cfg = dataclasses.replace(moe_cfg,
+                                      balance_loss_alpha=args.balance_alpha)
+    if args.gateway_t is not None:
+        moe_cfg = dataclasses.replace(moe_cfg, gateway_t=args.gateway_t)
     model = MoEClassifier(moe_cfg)
     return run(cfg, args, model=model, task=MoETask(moe_cfg))
 

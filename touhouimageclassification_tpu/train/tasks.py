@@ -32,7 +32,11 @@ class MoETask(ClassificationTask):
         cls_loss = losses.symmetric_cross_entropy(
             logits, soft_labels, self.cfg.sce_alpha, self.cfg.sce_beta
         )
-        bal_loss = losses.load_balance_loss(gate_dense)
+        if self.cfg.balance_loss == "switch":
+            bal_loss = losses.switch_load_balance_loss(
+                gate_dense, top_i, self.cfg.num_experts)
+        else:
+            bal_loss = losses.load_balance_loss(gate_dense)
         total = cls_loss + self.cfg.balance_loss_alpha * bal_loss
         aux = {"classification_loss": cls_loss, "balance_loss": bal_loss}
         if self.cfg.routing == "sparse":

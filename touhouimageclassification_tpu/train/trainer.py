@@ -55,6 +55,21 @@ from .checkpoint import CheckpointManager
 from .optim import build_optimizer, fast_global_norm
 
 
+def _fetch_scalars(metrics: dict) -> dict[str, float]:
+    """Fetch every scalar metric in ONE host round trip: stack device-side,
+    ship a single small vector. On the tunneled relay each leaf fetched
+    separately is its own ~30 ms RTT (measured: leaf-wise device_get of 5
+    scalars +10 ms/step vs this, which ties the single-loss-float fetch).
+    Non-scalar leaves (if a task ever emits them) are skipped."""
+    keys = [key for key, val in metrics.items()
+            if getattr(val, "ndim", None) == 0]
+    if not keys:
+        return {}
+    vec = np.asarray(jnp.stack([metrics[key].astype(jnp.float32)
+                                for key in keys]))
+    return dict(zip(keys, vec.tolist()))
+
+
 def window_early_exit(timeline: list, patience: int, mode: str = "min") -> bool:
     """The hand-rolled loops' early-exit rule (``finetune.py:79-91``): stop
     when nothing in the last ``patience`` epochs improved on the value
@@ -602,6 +617,14 @@ class Trainer:
             for epoch in range(start_epoch, cfg.max_epochs):
                 t0 = time.time()
                 running, nsteps = 0.0, 0
+                # epoch means of every scalar the task emits (grad_norm plus
+                # task aux, e.g. MoE routing telemetry: balance_loss,
+                # drop_frac, expert_load_max/min). The loss fetch is already
+                # the per-step sync point; _fetch_scalars ships ALL scalars
+                # in that same single round trip (measured on the relay:
+                # leaf-by-leaf device_get costs +10 ms/step, a device-side
+                # stack + one vector fetch costs nothing).
+                aux_running: dict[str, float] = {}
                 # consumed counts LOADER batches trained this run (profiling
                 # re-trains one batch profile_steps times, inflating nsteps
                 # but not consumed — the resume offset must track data, not
@@ -639,14 +662,24 @@ class Trainer:
                         with trace(cfg.profile_dir):
                             for _ in range(cfg.profile_steps):
                                 self.state, metrics = train_step(self.state, batch)
-                                jax.block_until_ready(metrics["loss"])
-                                running += float(metrics["loss"]) * k
+                                fetched = _fetch_scalars(metrics)
+                                running += fetched["loss"] * k
+                                for mk, mv in fetched.items():
+                                    if mk != "loss":
+                                        aux_running[mk] = (
+                                            aux_running.get(mk, 0.0)
+                                            + mv * k)
                                 nsteps += k
                         profiled = True
                         consumed += k
                         continue
                     self.state, metrics = train_step(self.state, batch)
-                    running += float(metrics["loss"]) * k
+                    fetched = _fetch_scalars(metrics)
+                    running += fetched["loss"] * k
+                    for mk, mv in fetched.items():
+                        if mk != "loss":
+                            aux_running[mk] = (aux_running.get(mk, 0.0)
+                                               + mv * k)
                     nsteps += k
                     consumed += k
                 dt = time.time() - t0
@@ -686,6 +719,8 @@ class Trainer:
                     "epoch_seconds": dt,
                     "images_per_second": nsteps * cfg.global_batch_size / dt if dt else 0.0,
                 }
+                for mk, mv in aux_running.items():
+                    record.setdefault(mk, mv / max(nsteps, 1))
                 if val_loader is not None:
                     record.update(
                         self.evaluate(val_loader, self.state, cfg.limit_val_batches)
